@@ -1,0 +1,126 @@
+"""Typed model configuration + JSON registry.
+
+Counterpart of the reference's model-config system: dataclasses CLIPVisionCfg/CLIPTextCfg
+(align_clip/model.py:21-55) and the JSON registry align_clip/model_configs/*.json loaded by
+_rescan_model_configs (factory.py:32-53)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    mlp_ratio: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    # single shared trunk for both modalities (SharedCLIP/AlignCLIP, model.py:175-194);
+    # requires vision.width == text.width etc. (asserted at model.py:165-169)
+    share_trunk: bool = False
+    remat: bool = False  # per-block rematerialization (grad checkpointing)
+
+    def __post_init__(self):
+        if self.share_trunk:
+            assert self.vision.width == self.text.width, "shared trunk requires equal widths"
+            assert self.vision.layers == self.text.layers
+            assert self.vision.heads == self.text.heads
+
+
+@dataclasses.dataclass(frozen=True)
+class VariationalConfig:
+    """Extra head config for VariationalCLIP (Models/variationalClip.py:40-57)."""
+
+    model_type: str = "Spherical"  # or "Gaussian"
+    min_concentration: float = 10.0
+    initial_concentration: float = 200.0
+    max_concentration: float = 1e12
+
+
+def _vision_from_json(d: dict) -> VisionConfig:
+    return VisionConfig(
+        image_size=d.get("image_size", 224),
+        patch_size=d.get("patch_size", 32),
+        width=d.get("width", 768),
+        layers=d.get("layers", 12),
+        heads=d.get("heads", d.get("width", 768) // 64),
+        mlp_ratio=d.get("mlp_ratio", 4.0),
+    )
+
+
+def _text_from_json(d: dict) -> TextConfig:
+    return TextConfig(
+        context_length=d.get("context_length", 77),
+        vocab_size=d.get("vocab_size", 49408),
+        width=d.get("width", 512),
+        layers=d.get("layers", 12),
+        heads=d.get("heads", d.get("width", 512) // 64),
+        mlp_ratio=d.get("mlp_ratio", 4.0),
+    )
+
+
+def clip_config_from_dict(d: dict) -> CLIPConfig:
+    return CLIPConfig(
+        embed_dim=d.get("embed_dim", 512),
+        vision=_vision_from_json(d.get("vision_cfg", {})),
+        text=_text_from_json(d.get("text_cfg", {})),
+        share_trunk=d.get("share_trunk", False),
+        remat=d.get("remat", False),
+    )
+
+
+_registry: dict = {}
+
+
+def _rescan():
+    _registry.clear()
+    if os.path.isdir(_CONFIG_DIR):
+        for fname in sorted(os.listdir(_CONFIG_DIR)):
+            if fname.endswith(".json"):
+                with open(os.path.join(_CONFIG_DIR, fname)) as f:
+                    _registry[fname[:-5]] = json.load(f)
+
+
+def list_models() -> list:
+    if not _registry:
+        _rescan()
+    return sorted(_registry)
+
+
+def get_model_config(name: str) -> CLIPConfig:
+    if not _registry:
+        _rescan()
+    if name not in _registry:
+        raise KeyError(f"unknown model config {name!r}; available: {list_models()}")
+    return clip_config_from_dict(_registry[name])
+
+
+def add_model_config(name: str, cfg: dict):
+    """Register an extra config at runtime (factory.py:61 equivalent)."""
+    if not _registry:
+        _rescan()
+    _registry[name] = cfg

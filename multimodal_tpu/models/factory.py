@@ -1,0 +1,54 @@
+"""Model factory — name -> module (+ initialized params), from the JSON config registry.
+
+Counterpart of align_clip/factory.py:107-257 (create_model / create_model_and_transforms)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_tpu.models.clip import CLIP, VariationalCLIP
+from multimodal_tpu.models.config import (
+    CLIPConfig,
+    VariationalConfig,
+    get_model_config,
+    list_models,
+)
+
+
+def create_model(
+    name: str,
+    variational: bool = False,
+    vcfg: Optional[VariationalConfig] = None,
+    dtype: Any = jnp.float32,
+    remat: Optional[bool] = None,
+):
+    cfg = get_model_config(name)
+    if remat is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, remat=remat)
+    if variational:
+        return VariationalCLIP(cfg=cfg, vcfg=vcfg or VariationalConfig(), dtype=dtype)
+    return CLIP(cfg=cfg, dtype=dtype)
+
+
+def example_inputs(cfg: CLIPConfig, batch: int = 2):
+    images = jnp.zeros((batch, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.float32)
+    tokens = jnp.zeros((batch, cfg.text.context_length), jnp.int32).at[:, 0].set(1)
+    # put a large token id at position 3 so EOT-argmax pooling has a well-defined target
+    tokens = tokens.at[:, 3].set(cfg.text.vocab_size - 1)
+    return images, tokens
+
+
+def init_params(model, rng=None, batch: int = 2):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    images, tokens = example_inputs(model.cfg, batch)
+    return model.init(rng, images, tokens)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,168 @@
+"""Transformer building blocks (Flax) — counterparts of align_clip/transformer.py:17-326.
+
+Design notes (TPU-first):
+  * LayerNorm always computes in float32 regardless of the compute dtype (the reference's
+    LayerNormFp32, transformer.py:17-24) — bf16 LN is a known quality trap;
+  * attention uses multimodal_tpu.ops.attention ([B,S,H,D] layout, Pallas-ready);
+  * per-block rematerialization via flax nn.remat replaces torch.utils.checkpoint
+    (transformer.py:319-326);
+  * parameters live in float32 (param_dtype); activations follow ``dtype`` (bf16 on TPU);
+  * ``causal`` is static module config (it selects a different compiled kernel), not a
+    runtime argument.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_tpu.ops.attention import attention
+
+Dtype = Any
+
+
+def quick_gelu(x):
+    """x * sigmoid(1.702 x) — CLIP's activation (align_clip/transformer.py:35-38)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in f32, result cast back to the input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig_dtype)
+
+
+class MLP(nn.Module):
+    width: int
+    expansion: float = 4.0
+    act: Callable = quick_gelu
+    dtype: Dtype = jnp.float32
+    depth: int = 12  # total transformer depth, for the residual-branch init scaling
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.width * self.expansion)
+        # CLIP init scheme (align_clip/model.py:199-208)
+        fc_init = nn.initializers.normal(stddev=(2 * self.width) ** -0.5)
+        proj_init = nn.initializers.normal(
+            stddev=(self.width ** -0.5) * ((2 * self.depth) ** -0.5)
+        )
+        x = nn.Dense(
+            hidden, dtype=self.dtype, param_dtype=jnp.float32, kernel_init=fc_init, name="c_fc"
+        )(x)
+        x = self.act(x)
+        return nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=proj_init,
+            name="c_proj",
+        )(x)
+
+
+class MultiHeadAttention(nn.Module):
+    width: int
+    heads: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+    depth: int = 12
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(
+            3 * self.width,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(stddev=self.width ** -0.5),
+            name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, s = x.shape[:2]
+        q = q.reshape(b, s, self.heads, head_dim)
+        k = k.reshape(b, s, self.heads, head_dim)
+        v = v.reshape(b, s, self.heads, head_dim)
+        out = attention(q, k, v, causal=self.causal, mask=mask)
+        out = out.reshape(b, s, self.width)
+        return nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(
+                stddev=(self.width ** -0.5) * ((2 * self.depth) ** -0.5)
+            ),
+            name="out",
+        )(out)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-LN residual attention block (align_clip/transformer.py:193-248)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    causal: bool = False
+    act: Callable = quick_gelu
+    dtype: Dtype = jnp.float32
+    depth: int = 12
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + MultiHeadAttention(
+            self.width,
+            self.heads,
+            causal=self.causal,
+            dtype=self.dtype,
+            depth=self.depth,
+            name="attn",
+        )(LayerNorm(name="ln_1")(x), mask=mask)
+        x = x + MLP(
+            self.width,
+            self.mlp_ratio,
+            act=self.act,
+            dtype=self.dtype,
+            depth=self.depth,
+            name="mlp",
+        )(LayerNorm(name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual blocks with optional per-block remat
+    (align_clip/transformer.py:292-326)."""
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    causal: bool = False
+    act: Callable = quick_gelu
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        for i in range(self.layers):
+            x = block_cls(
+                self.width,
+                self.heads,
+                self.mlp_ratio,
+                causal=self.causal,
+                act=self.act,
+                dtype=self.dtype,
+                depth=self.layers,
+                name=f"resblock_{i}",
+            )(x, mask)
+        return x

@@ -1,0 +1,6 @@
+from multimodal_tpu.parallel.mesh import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
