@@ -1,0 +1,111 @@
+"""Headline benchmark: CLIP ViT-B/32 training throughput per chip (bf16, synthetic on-device
+data — measures the compute path free of input-pipeline effects, per BASELINE.json's
+north-star 'images+texts/sec/chip ... sustained input-bound-free').
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The documented
+comparison constant below is the commonly reported OpenCLIP ViT-B/32 training throughput of
+~1100 samples/s per A100-40GB (fp16 AMP, large batch) — the reference stack IS vendored
+OpenCLIP, so this is the fairest available stand-in for 'the reference's own headline
+benchmark' until a measured reference run exists. vs_baseline = ours_per_chip / 1100.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SAMPLES_PER_S_PER_GPU = 1100.0  # OpenCLIP ViT-B/32 on A100 (see module docstring)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="smoke-level run")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--model", default="ViT-B-32")
+    args = parser.parse_args()
+
+    batch = args.batch_size or (64 if args.quick else 128)
+    steps = args.steps or (3 if args.quick else 8)
+    warmup = 1 if args.quick else 3
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.parallel import create_mesh, shard_batch
+    from multimodal_tpu.train import TrainState, make_optimizer, make_schedule, make_train_step
+
+    dev = jax.devices()[0]
+    print(f"[bench] platform={dev.platform} kind={dev.device_kind} "
+          f"n_devices={len(jax.devices())} batch={batch} steps={steps}", file=sys.stderr)
+
+    model = create_model(args.model, dtype=jnp.bfloat16)
+    params = init_params(model)
+    tx = make_optimizer(
+        make_schedule("cosine", 1e-3, warmup_steps=100, total_steps=10000),
+        weight_decay=0.1,
+        grad_clip_norm=1.0,
+    )
+    state = TrainState.create(params, tx)
+    mesh = create_mesh()
+    state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False)
+
+    rng = np.random.default_rng(0)
+    c = model.cfg
+    host_batch = {
+        "image": rng.standard_normal(
+            (batch, c.vision.image_size, c.vision.image_size, 3), dtype=np.float32
+        ),
+        "text": rng.integers(1, c.text.vocab_size - 1, (batch, c.text.context_length)).astype(
+            np.int32
+        ),
+    }
+    dev_batch = shard_batch(host_batch, mesh)
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(warmup):
+        state, metrics = step(state, dev_batch, key)
+    float(metrics["loss"])  # on the axon relay only a host fetch truly synchronizes
+
+    def timed_chain(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, m = step(state, dev_batch, key)
+        loss = float(m["loss"])  # one sync at the end of the chain
+        return time.perf_counter() - t0, loss
+
+    # two-point measurement cancels the constant dispatch/fetch round-trip overhead
+    t_one, _ = timed_chain(1)
+    dt, loss_val = timed_chain(steps)
+    step_time = max((dt - t_one) / max(steps - 1, 1), 1e-9)
+
+    n_chips = len(jax.devices())
+    samples_per_s = batch / step_time
+    per_chip = samples_per_s / n_chips
+    metrics = {"loss": loss_val}
+    dt = step_time * steps
+    print(
+        f"[bench] {step_time*1e3:.2f} ms/step -> {samples_per_s:.1f} samples/s "
+        f"({per_chip:.1f}/chip), loss={metrics['loss']:.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vitb32_train_samples_per_s_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_S_PER_GPU, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,299 @@
+"""Training engine: jitted sharded train steps for every loss family.
+
+Counterpart of reference AlignCLIP/main/train.py:65-239 (train_one_epoch internals) and the
+notebook train loops (trainer.ipynb:cell 19), redesigned for XLA:
+
+  * one jitted ``train_step(state, batch, rng)`` — forward, loss, grad, clip, AdamW update,
+    post-step logit_scale clamp to [0, ln 100] (train.py:181-182) — no Python in the hot loop;
+  * data parallelism by sharding constraint: params replicated, batch sharded over the
+    ``data`` mesh axis; XLA inserts the feature all-gather for the global contrastive loss.
+    An explicit shard_map variant computes the local_loss form (local@global logits with
+    axis-offset labels) for ICI-optimal scaling;
+  * gradient accumulation in two forms (SURVEY §2c.3): plain micro-batch averaging via
+    lax.scan, and OpenCLIP's feature-cached accumulation (train.py:119-163) that enlarges the
+    effective contrastive batch — phase 1 caches stop-grad features of all micro-batches,
+    phase 2 re-forwards each micro-batch with the others as negatives and accumulates exact
+    full-batch gradients;
+  * NaN robustness via optax.apply_if_finite (replaces the reference's NaN-skip loops).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_tpu.distributions import PowerSpherical, VonMisesFisher
+from multimodal_tpu.distributions.normal import NormalDiag
+from multimodal_tpu.losses import align_clip_loss, clip_loss, cloob_loss, vclip_loss
+from multimodal_tpu.models.clip import LOGIT_SCALE_MAX
+from multimodal_tpu.ops.sphere import l2_normalize
+
+DATA_AXIS = "data"
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def global_norm(tree):
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+def _clamp_logit_scale(params):
+    """Post-step clamp logit_scale to [0, ln(100)] (train.py:181-182)."""
+
+    def clamp(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "logit_scale" in name:
+            return jnp.clip(leaf, 0.0, LOGIT_SCALE_MAX)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(clamp, params)
+
+
+def make_loss_fn(
+    model,
+    loss_type: str = "clip",
+    loss_kwargs: Optional[dict] = None,
+) -> Callable:
+    """Build loss_fn(params, batch, rng, axis_name) -> (loss, metrics) for a loss family.
+
+    loss_type: 'clip' | 'cloob' | 'align' | 'vclip' (the four reference losses, SURVEY §2a).
+    """
+    kw = dict(loss_kwargs or {})
+
+    if loss_type == "clip":
+        label_smoothing = kw.pop("label_smoothing", 0.0)
+        local_loss = kw.pop("local_loss", True)
+
+        def loss_fn(params, batch, rng, axis_name=None):
+            out = model.apply(params, batch["image"], batch["text"])
+            loss = clip_loss(
+                out["image_features"],
+                out["text_features"],
+                out["logit_scale"],
+                label_smoothing=label_smoothing,
+                normalize=False,
+                axis_name=axis_name,
+                local_loss=local_loss,
+                **kw,
+            )
+            return loss, {"loss": loss, "logit_scale": out["logit_scale"]}
+
+        return loss_fn
+
+    if loss_type == "cloob":
+        inv_tau = kw.pop("inv_tau", 30.0)
+        scale_hopfield = kw.pop("scale_hopfield", 8.0)
+
+        def loss_fn(params, batch, rng, axis_name=None):
+            out = model.apply(params, batch["image"], batch["text"])
+            img, txt = out["image_features"], out["text_features"]
+            if axis_name is not None:
+                img = jax.lax.all_gather(img, axis_name, axis=0, tiled=True)
+                txt = jax.lax.all_gather(txt, axis_name, axis=0, tiled=True)
+            loss = cloob_loss(img, txt, inv_tau=inv_tau, scale_hopfield=scale_hopfield)
+            return loss, {"loss": loss}
+
+        return loss_fn
+
+    if loss_type == "align":
+
+        def loss_fn(params, batch, rng, axis_name=None):
+            out = model.apply(params, batch["image"], batch["text"])
+            res = align_clip_loss(
+                out["image_features"],
+                out["text_features"],
+                out["logit_scale"],
+                semantic_features=batch.get("semantic"),
+                normalize=False,
+                axis_name=axis_name,
+                **kw,
+            )
+            return res["total_loss"], res
+
+        return loss_fn
+
+    if loss_type == "vclip":
+        dist_type = kw.pop("distribution_type", "power_spherical")
+
+        def loss_fn(params, batch, rng, axis_name=None):
+            out = model.apply(params, batch["image"], batch["text"])
+            mu_i = l2_normalize(out["image_mean"])
+            mu_t = l2_normalize(out["text_mean"])
+            conc_i, conc_t = out["image_concentration"], out["text_concentration"]
+            if dist_type == "power_spherical":
+                di, dt = PowerSpherical(mu_i, conc_i), PowerSpherical(mu_t, conc_t)
+            elif dist_type == "vmf":
+                di, dt = VonMisesFisher(mu_i, conc_i), VonMisesFisher(mu_t, conc_t)
+            elif dist_type == "normal":
+                di = NormalDiag(out["image_mean"], jnp.sqrt(conc_i))
+                dt = NormalDiag(out["text_mean"], jnp.sqrt(conc_t))
+            else:
+                raise ValueError(dist_type)
+            res = vclip_loss(
+                di, dt, conc_i, conc_t, out["logit_scale"], key=rng, **kw
+            )
+            metrics = dict(res)
+            metrics["mean_image_concentration"] = conc_i.mean()
+            metrics["mean_text_concentration"] = conc_t.mean()
+            return res["total_loss"], metrics
+
+        return loss_fn
+
+    raise ValueError(f"unknown loss_type {loss_type!r}")
+
+
+def _accum_grads(loss_fn, params, batch, rng, accum_steps: int, axis_name):
+    """Plain micro-batch gradient accumulation via lax.scan (trainer.ipynb:cell 19 form)."""
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]), batch
+    )
+    rngs = jax.random.split(rng, accum_steps)
+
+    def body(carry, xs):
+        g_acc, l_acc = carry
+        mb, r = xs
+        (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, r, axis_name)
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + loss), metrics
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (g_sum, loss_sum), metrics = jax.lax.scan(body, (zero, 0.0), (micro, rngs))
+    grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
+    metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    metrics["loss"] = loss_sum / accum_steps
+    return grads, metrics
+
+
+def _feature_cached_grads(model, params, batch, logit_scale_loss_kwargs, accum_steps: int, axis_name):
+    """OpenCLIP feature-cached accumulation (train.py:119-163), exact full-batch gradients.
+
+    Only defined for the plain CLIP InfoNCE loss (as in the reference). Phase 1: stop-grad
+    features for every micro-batch. Phase 2: per micro-batch, re-forward with grad, splice
+    into the cached feature bank, full-bank loss, accumulate grads."""
+    kw = dict(logit_scale_loss_kwargs or {})
+    label_smoothing = kw.pop("label_smoothing", 0.0)
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]), batch
+    )
+
+    def encode(p, mb):
+        out = model.apply(p, mb["image"], mb["text"])
+        return out["image_features"], out["text_features"], out["logit_scale"]
+
+    def phase1(carry, mb):
+        fi, ft, _ = encode(params, mb)
+        return carry, (fi, ft)
+
+    _, (bank_i, bank_t) = jax.lax.scan(phase1, None, micro)  # [k, Bm, E]
+    bank_i = jax.lax.stop_gradient(bank_i)
+    bank_t = jax.lax.stop_gradient(bank_t)
+
+    def loss_for_micro(p, mb, idx):
+        fi, ft, ls = encode(p, mb)
+        all_i = jax.lax.dynamic_update_index_in_dim(bank_i, fi, idx, 0).reshape(
+            -1, fi.shape[-1]
+        )
+        all_t = jax.lax.dynamic_update_index_in_dim(bank_t, ft, idx, 0).reshape(
+            -1, ft.shape[-1]
+        )
+        loss = clip_loss(
+            all_i, all_t, ls,
+            label_smoothing=label_smoothing, normalize=False, axis_name=axis_name, **kw,
+        )
+        return loss, ls
+
+    def phase2(carry, xs):
+        g_acc, l_acc = carry
+        mb, idx = xs
+        (loss, ls), g = jax.value_and_grad(loss_for_micro, has_aux=True)(params, mb, idx)
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + loss), ls
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (g_sum, loss_sum), ls = jax.lax.scan(
+        phase2, (zero, 0.0), (micro, jnp.arange(accum_steps))
+    )
+    metrics = {"loss": loss_sum / accum_steps, "logit_scale": ls[-1]}
+    return g_sum, metrics  # grads are exact full-batch grads; no averaging (sum of chain parts)
+
+
+def make_train_step(
+    model,
+    tx,
+    *,
+    loss_type: str = "clip",
+    loss_kwargs: Optional[dict] = None,
+    mesh=None,
+    use_shard_map: bool = False,
+    accum_steps: int = 1,
+    feature_cached_accum: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step. With ``mesh``: params replicated, batch data-sharded.
+
+    use_shard_map=True computes the loss inside shard_map with the local_loss form —
+    the global x global logits matrix is never materialized per chip."""
+    loss_fn = make_loss_fn(model, loss_type, loss_kwargs)
+
+    def grads_and_metrics(params, batch, rng, axis_name):
+        if feature_cached_accum and accum_steps > 1:
+            assert loss_type == "clip", "feature-cached accumulation is a CLIP-loss feature"
+            return _feature_cached_grads(model, params, batch, loss_kwargs, accum_steps, axis_name)
+        if accum_steps > 1:
+            return _accum_grads(loss_fn, params, batch, rng, accum_steps, axis_name)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, axis_name
+        )
+        return grads, metrics
+
+    def step_fn(state: TrainState, batch, rng):
+        if use_shard_map:
+            assert mesh is not None
+
+            def sharded(params, batch, rng):
+                grads, metrics = grads_and_metrics(params, batch, rng, DATA_AXIS)
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                metrics = jax.lax.pmean(metrics, DATA_AXIS)
+                return grads, metrics
+
+            grads, metrics = jax.shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P()),
+                out_specs=(P(), P()),
+            )(state.params, batch, rng)
+        else:
+            grads, metrics = grads_and_metrics(state.params, batch, rng, None)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = _clamp_logit_scale(new_params)
+        metrics["grad_norm"] = global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        return new_state, metrics
+
+    jit_kwargs = {}
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        data_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        # single shardings act as pytree prefixes (whole state replicated, whole batch sharded)
+        jit_kwargs["in_shardings"] = (replicated, data_sharded, replicated)
+        jit_kwargs["out_shardings"] = (replicated, replicated)
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    return jax.jit(step_fn, **jit_kwargs)
