@@ -17,6 +17,7 @@ contiguous for the MXU and avoids the reference's LND permutes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,11 @@ def attention(q, k, v, *, causal: bool = False, mask=None, impl: str = "auto"):
     """
     if impl == "auto":
         impl = "xla"
-        if mask is None and jax.devices()[0].platform == "tpu":
+        if (
+            mask is None
+            and jax.devices()[0].platform == "tpu"
+            and not os.environ.get("MMTPU_DISABLE_FLASH")
+        ):
             from multimodal_tpu.ops.flash_attention import flash_supported
 
             if flash_supported(q.shape, k.shape):
