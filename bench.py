@@ -31,7 +31,7 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     args = parser.parse_args()
 
-    batch = args.batch_size or (64 if args.quick else 128)
+    batch = args.batch_size or (64 if args.quick else 256)
     steps = args.steps or (3 if args.quick else 8)
     warmup = 1 if args.quick else 3
 
@@ -57,9 +57,10 @@ def main():
 
     rng = np.random.default_rng(0)
     c = model.cfg
+    # uint8 images: the production wire format (native pipeline output, normalized on-device)
     host_batch = {
-        "image": rng.standard_normal(
-            (batch, c.vision.image_size, c.vision.image_size, 3), dtype=np.float32
+        "image": rng.integers(
+            0, 256, (batch, c.vision.image_size, c.vision.image_size, 3), dtype=np.uint8
         ),
         "text": rng.integers(1, c.text.vocab_size - 1, (batch, c.text.context_length)).astype(
             np.int32

@@ -1,0 +1,210 @@
+"""Dataset adapters: COCO, CC12M, LAION, COOD, CSV — local-file based, iterator-style.
+
+Counterparts of the reference dataset layer:
+  * CocoDataset (Datasets/coco.py:26-102): parse captions_{split}.json, image_id -> file map,
+    per-item decode + tokenize, collate to [B,·,·,3] + [B,77];
+  * CC12mDataset (Datasets/cc12m.py): webdataset shards — served here by WdsReader;
+  * LaionDataset (Datasets/laion.py:22-78): images/ dir + captions.json;
+  * CoodDataset (Datasets/cood.py:18-70): folder-per-class, caption = class-folder name;
+  * CsvDataset (AlignCLIP/main/data.py:29-54): separator/img_key/caption_key.
+
+Network downloaders are intentionally out of scope on the zero-egress TPU pod — datasets are
+materialized by external tooling; each adapter documents the expected on-disk layout. All
+adapters yield the same static-shape batch dict as WdsReader: {'image': u8 [B,S,S,3],
+'text': i32 [B,77]} (normalization runs on-device)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from multimodal_tpu.data import preprocess
+from multimodal_tpu.data.tokenizer import CONTEXT_LENGTH, tokenize
+from multimodal_tpu.data.wds import WdsReader, decode_images
+
+
+class FileListDataset:
+    """Common engine: (image_path, caption) pairs -> shuffled, decoded, tokenized batches."""
+
+    def __init__(
+        self,
+        items: Sequence[tuple[str, str]],
+        *,
+        batch_size: int,
+        train: bool = True,
+        image_size: int = preprocess.IMAGE_SIZE,
+        context_length: int = CONTEXT_LENGTH,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_hosts: int = 1,
+        host_id: int = 0,
+    ):
+        self.items = list(items)[host_id::num_hosts]
+        self.batch_size = batch_size
+        self.train = train
+        self.image_size = image_size
+        self.context_length = context_length
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.items)
+
+    @property
+    def num_batches(self):
+        n = len(self.items) // self.batch_size
+        if not self.drop_last and len(self.items) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng([self.seed, self.epoch])
+        order = rng.permutation(len(self.items)) if self.train else np.arange(len(self.items))
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            paths, texts = zip(*(self.items[i] for i in idx))
+            buffers = []
+            for p in paths:
+                try:
+                    with open(p, "rb") as f:
+                        buffers.append(f.read())
+                except OSError:
+                    buffers.append(b"")
+            arr, ok = decode_images(list(buffers), self.image_size, self.train, rng=rng)
+            texts = list(texts)
+            good_idx = np.flatnonzero(ok)
+            if len(good_idx) == 0:
+                continue
+            if len(good_idx) < len(idx):  # static-shape backfill (see wds.WdsReader)
+                fill = rng.choice(good_idx, size=len(idx) - len(good_idx))
+                bad = np.flatnonzero(~ok)
+                arr[bad] = arr[fill]
+                for b, g in zip(bad, fill):
+                    texts[b] = texts[g]
+            yield {"image": arr, "text": tokenize(texts, self.context_length)}
+
+
+def coco_captions(root: str, split: str = "train", year: str = "2017") -> list[tuple[str, str]]:
+    """Parse COCO ``annotations/captions_{split}{year}.json`` into (image_path, caption)
+    pairs — one pair per annotation (Datasets/coco.py:40-80 keeps all captions).
+
+    Layout: root/{split}{year}/*.jpg + root/annotations/captions_{split}{year}.json."""
+    ann_path = os.path.join(root, "annotations", f"captions_{split}{year}.json")
+    with open(ann_path) as f:
+        ann = json.load(f)
+    id_to_file = {
+        img["id"]: os.path.join(root, f"{split}{year}", img["file_name"])
+        for img in ann["images"]
+    }
+    return [
+        (id_to_file[a["image_id"]], a["caption"])
+        for a in ann["annotations"]
+        if a["image_id"] in id_to_file
+    ]
+
+
+def laion_items(root: str) -> list[tuple[str, str]]:
+    """LAION as materialized by the reference downloader (Datasets/laion.py:80-128):
+    root/images/{i}.jpg + root/captions.json (a list or dict of captions)."""
+    with open(os.path.join(root, "captions.json")) as f:
+        captions = json.load(f)
+    if isinstance(captions, dict):
+        pairs = [(os.path.join(root, "images", k), v) for k, v in captions.items()]
+    else:
+        pairs = [
+            (os.path.join(root, "images", f"{i}.jpg"), c) for i, c in enumerate(captions)
+        ]
+    return [(p, c) for p, c in pairs if os.path.exists(p)]
+
+
+def cood_items(root: str) -> list[tuple[str, str]]:
+    """COOD (ImageNet-AO OOD) layout: root/<class name>/*.jpg, caption = folder name
+    (Datasets/cood.py:18-70)."""
+    items = []
+    for cls in sorted(os.listdir(root)):
+        cls_dir = os.path.join(root, cls)
+        if not os.path.isdir(cls_dir):
+            continue
+        for fn in sorted(os.listdir(cls_dir)):
+            if fn.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                items.append((os.path.join(cls_dir, fn), cls.replace("_", " ")))
+    return items
+
+
+def csv_items(
+    path: str,
+    img_key: str = "filepath",
+    caption_key: str = "title",
+    sep: str = "\t",
+) -> list[tuple[str, str]]:
+    """CSV/TSV dataset (main/data.py:29-54 CsvDataset): img_key/caption_key columns."""
+    import csv
+
+    items = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f, delimiter=sep):
+            items.append((row[img_key], row[caption_key]))
+    return items
+
+
+def build_dataset(
+    dataset_type: str,
+    *,
+    path: str,
+    batch_size: int,
+    train: bool = True,
+    seed: int = 0,
+    num_hosts: int = 1,
+    host_id: int = 0,
+    num_workers: int = 1,
+    worker_id: int = 0,
+    **kw,
+):
+    """Dispatcher (reference get_data, main/data.py:711-768). dataset_type:
+    'webdataset' | 'coco' | 'laion' | 'cood' | 'csv' | 'synthetic'."""
+    if dataset_type == "webdataset":
+        return WdsReader(
+            path,
+            batch_size=batch_size,
+            train=train,
+            seed=seed,
+            num_hosts=num_hosts,
+            host_id=host_id,
+            num_workers=num_workers,
+            worker_id=worker_id,
+            **kw,
+        )
+    if dataset_type == "synthetic":
+        from multimodal_tpu.data.synthetic import SyntheticBatches
+
+        return SyntheticBatches(batch_size=batch_size, **kw)
+    if dataset_type == "coco":
+        items = coco_captions(path, **{k: kw.pop(k) for k in ("split", "year") if k in kw})
+    elif dataset_type == "laion":
+        items = laion_items(path)
+    elif dataset_type == "cood":
+        items = cood_items(path)
+    elif dataset_type == "csv":
+        items = csv_items(
+            path, **{k: kw.pop(k) for k in ("img_key", "caption_key", "sep") if k in kw}
+        )
+    else:
+        raise ValueError(f"unknown dataset_type {dataset_type!r}")
+    return FileListDataset(
+        items,
+        batch_size=batch_size,
+        train=train,
+        seed=seed,
+        num_hosts=num_hosts,
+        host_id=host_id,
+        **kw,
+    )

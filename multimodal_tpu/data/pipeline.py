@@ -1,0 +1,89 @@
+"""Device feed: background producer + prefetch-to-device double buffering.
+
+Counterpart of the reference's DataLoader worker processes + pin_memory/non_blocking H2D
+copies (main/train.py:100-101, data.py:505-517). JAX redesign: a background thread runs the
+(CPU-bound, GIL-releasing) decode pipeline and a prefetch queue eagerly ``device_put``s the
+next batches while the current step executes — the async dispatch overlaps host decode, H2D
+transfer, and TPU compute. Depth 2 suffices: one batch in flight on device, one being staged.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+_SENTINEL = object()
+
+
+def _producer(iterable, q: queue.Queue, stop: threading.Event):
+    try:
+        for item in iterable:
+            if stop.is_set():
+                return
+            q.put(item)
+    finally:
+        q.put(_SENTINEL)
+
+
+def background(iterable: Iterable, depth: int = 4) -> Iterator:
+    """Run an iterable in a daemon thread with a bounded queue (decode/compute overlap)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    t = threading.Thread(target=_producer, args=(iterable, q, stop), daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def prefetch_to_device(
+    iterable: Iterable,
+    sharding=None,
+    depth: int = 2,
+    decode_threads: int = 4,
+) -> Iterator:
+    """Stage host batches onto the device(s) ``depth`` steps ahead of consumption.
+
+    sharding: a jax.sharding.Sharding (e.g. NamedSharding(mesh, P('data'))) or None for the
+    default device. device_put is async — staged transfers overlap the running step."""
+    it = background(iterable, depth=max(depth, decode_threads))
+    buf = []
+
+    def stage(item):
+        if sharding is not None:
+            return jax.device_put(item, sharding)
+        return jax.device_put(item)
+
+    for item in it:
+        buf.append(stage(item))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf
+
+
+class DataInfo:
+    """Bundle of a batch source + epoch bookkeeping (reference DataInfo, data.py:55-76)."""
+
+    def __init__(self, source, sharding=None, prefetch_depth: int = 2):
+        self.source = source
+        self.sharding = sharding
+        self.prefetch_depth = prefetch_depth
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.source, "set_epoch"):
+            self.source.set_epoch(epoch)
+
+    @property
+    def num_batches(self) -> Optional[int]:
+        return getattr(self.source, "num_batches", None)
+
+    def __iter__(self):
+        return prefetch_to_device(self.source, self.sharding, self.prefetch_depth)

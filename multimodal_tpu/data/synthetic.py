@@ -45,3 +45,59 @@ class SyntheticDataset:
         text = np.broadcast_to(self._text, (batch_size,) + self._text.shape).copy()
         for _ in range(total):
             yield {"image": image, "text": text}
+
+
+class SyntheticBatches:
+    """Iterator-protocol synthetic backend matching WdsReader/FileListDataset: uint8 images
+    on the wire (normalized on-device), randomized pixels/tokens so contrastive losses see
+    distinguishable pairs instead of a degenerate all-identical batch."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        num_samples: int = 12800,
+        image_size: int = IMAGE_SIZE,
+        context_length: int = CONTEXT_LENGTH,
+        seed: int = 0,
+        randomized: bool = True,
+    ):
+        self.batch_size = batch_size
+        self.num_samples = num_samples
+        self.image_size = image_size
+        self.context_length = context_length
+        self.seed = seed
+        self.randomized = randomized
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    @property
+    def num_batches(self):
+        return self.num_samples // self.batch_size
+
+    def __len__(self):
+        return self.num_samples
+
+    def __iter__(self):
+        rng = np.random.default_rng([self.seed, self.epoch])
+        if not self.randomized:
+            ds = SyntheticDataset(self.batch_size, self.image_size, context_length=self.context_length)
+            yield from ds.batches(self.batch_size, steps=self.num_batches)
+            return
+        for _ in range(self.num_batches):
+            yield {
+                "image": rng.integers(
+                    0, 256, (self.batch_size, self.image_size, self.image_size, 3), dtype=np.uint8
+                ),
+                "text": np.concatenate(
+                    [
+                        np.full((self.batch_size, 1), 49406, np.int32),
+                        rng.integers(
+                            1, 49405, (self.batch_size, self.context_length - 2), dtype=np.int32
+                        ),
+                        np.full((self.batch_size, 1), 49407, np.int32),
+                    ],
+                    axis=1,
+                ),
+            }

@@ -1,0 +1,350 @@
+// Native input pipeline: batched JPEG decode + PIL-compatible bicubic resample + crop.
+//
+// TPU-native replacement for the reference's CPU dataloader-worker decode path
+// (Datasets/preProcess.py:17-25 via PIL, AlignCLIP/main/data.py:487 via torchvision):
+// the classic input-bound bottleneck for 224x224 contrastive training. Design:
+//   * libjpeg DCT-domain downscaling (scale_denom 1/2/4/8) so large photos are never fully
+//     decoded — pick the smallest scale that still exceeds the resample target;
+//   * separable convolution resampling with PIL's bicubic kernel (a = -0.5) and PIL's
+//     downscale filter widening (filterscale = in/out), so eval preprocessing matches the
+//     reference's PIL pipeline to rounding;
+//   * train mode = torchvision RandomResizedCrop(scale=(0.9,1.0), ratio=(3/4,4/3)) sampling
+//     (same algorithm as reference transform.py:108-117), seeded per sample for determinism;
+//   * output is uint8 RGB HWC — normalization runs on-device as an XLA prolog
+//     (multimodal_tpu/data/preprocess.py:normalize_images), quartering host->device traffic;
+//   * per-sample failure absorption: a corrupt image yields a black frame + error flag
+//     (the reference's semantics, Models/clipModel.py:169-178, main/data.py:276-279).
+//
+// C ABI only (consumed via ctypes from multimodal_tpu/native/bindings.py).
+
+#include <cstddef>  // jpeglib.h needs size_t/FILE declared first
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg, with DCT downscaling + robust error handling)
+// ---------------------------------------------------------------------------
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+void emit_message(j_common_ptr, int) {}  // silence warnings
+
+struct Image {
+  std::vector<uint8_t> data;  // HWC RGB
+  int w = 0, h = 0;
+};
+
+// Decode JPEG bytes to RGB. min_side_target: pick largest DCT denom keeping
+// min(w,h) >= min_side_target. Returns false on any decode error.
+bool decode_jpeg(const uint8_t* buf, size_t len, int min_side_target, Image* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = emit_message;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+
+  const int full_min = std::min<int>(cinfo.image_width, cinfo.image_height);
+  int denom = 1;
+  for (int d = 2; d <= 8; d *= 2) {
+    if (full_min / d >= min_side_target) denom = d;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+
+  bool cmyk = false;
+  if (cinfo.jpeg_color_space == JCS_CMYK || cinfo.jpeg_color_space == JCS_YCCK) {
+    cinfo.out_color_space = JCS_CMYK;  // libjpeg can't go CMYK->RGB; convert below
+    cmyk = true;
+  } else {
+    cinfo.out_color_space = JCS_RGB;
+  }
+  jpeg_start_decompress(&cinfo);
+
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  const int nc = cinfo.output_components;
+  if (w <= 0 || h <= 0 || (nc != 3 && nc != 4)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  out->w = w;
+  out->h = h;
+  out->data.resize(static_cast<size_t>(w) * h * 3);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * nc);
+  uint8_t* rowp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    uint8_t* dst = out->data.data() + static_cast<size_t>(y) * w * 3;
+    if (!cmyk) {
+      std::memcpy(dst, rowp, static_cast<size_t>(w) * 3);
+    } else {
+      // Adobe-style inverted CMYK (what JPEGs in the wild use): RGB = C*K/255 etc.
+      for (int x = 0; x < w; ++x) {
+        const int c = rowp[x * 4], m = rowp[x * 4 + 1], ye = rowp[x * 4 + 2],
+                  k = rowp[x * 4 + 3];
+        dst[x * 3 + 0] = static_cast<uint8_t>(c * k / 255);
+        dst[x * 3 + 1] = static_cast<uint8_t>(m * k / 255);
+        dst[x * 3 + 2] = static_cast<uint8_t>(ye * k / 255);
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// PIL-compatible separable bicubic resampling with source box
+// ---------------------------------------------------------------------------
+
+inline double bicubic_filter(double x) {  // Keys kernel, a = -0.5 (PIL's BICUBIC)
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct Contribs {
+  std::vector<int> bounds;       // [out * 2]: (first, count)
+  std::vector<double> weights;   // [out * kmax]
+  int kmax = 0;
+};
+
+// Precompute 1-D contributions for resampling the [box0, box1) window of an in_size-wide
+// axis to out_size. Taps clamp to the FULL image [0, in_size) — PIL's box-resize semantics:
+// the box positions the output grid, it does not truncate the filter footprint.
+Contribs compute_contribs(int out_size, double box0, double box1, int in_size) {
+  Contribs c;
+  const double in_span = box1 - box0;
+  const double scale = in_span / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 2.0 * filterscale;  // bicubic support = 2
+  c.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
+  c.bounds.resize(out_size * 2);
+  c.weights.assign(static_cast<size_t>(out_size) * c.kmax, 0.0);
+  for (int i = 0; i < out_size; ++i) {
+    const double center = box0 + (i + 0.5) * scale;
+    int first = static_cast<int>(center - support + 0.5);
+    int last = static_cast<int>(center + support + 0.5);
+    first = std::max(first, 0);
+    last = std::min(last, in_size);
+    double sum = 0.0;
+    double* w = &c.weights[static_cast<size_t>(i) * c.kmax];
+    for (int j = first; j < last; ++j) {
+      const double wv = bicubic_filter((j - center + 0.5) / filterscale);
+      w[j - first] = wv;
+      sum += wv;
+    }
+    if (sum != 0.0)
+      for (int j = 0; j < last - first; ++j) w[j] /= sum;
+    c.bounds[i * 2] = first;
+    c.bounds[i * 2 + 1] = last - first;
+  }
+  return c;
+}
+
+inline uint8_t clamp8(double v) {
+  return static_cast<uint8_t>(std::min(255.0, std::max(0.0, v + 0.5)));
+}
+
+// Resample src (HWC u8) region [bx0,bx1)x[by0,by1) to out_w x out_h (HWC u8).
+void resample(const Image& src, double bx0, double by0, double bx1, double by1,
+              int out_w, int out_h, uint8_t* dst) {
+  const Contribs cx = compute_contribs(out_w, bx0, bx1, src.w);
+  const Contribs cy = compute_contribs(out_h, by0, by1, src.h);
+  // horizontal pass over exactly the rows the vertical pass will tap
+  int y_lo = src.h, y_hi = 0;
+  for (int y = 0; y < out_h; ++y) {
+    y_lo = std::min(y_lo, cy.bounds[y * 2]);
+    y_hi = std::max(y_hi, cy.bounds[y * 2] + cy.bounds[y * 2 + 1]);
+  }
+  y_lo = std::max(y_lo, 0);
+  y_hi = std::min(y_hi, src.h);
+  const int tmp_h = y_hi - y_lo;
+  std::vector<float> tmp(static_cast<size_t>(tmp_h) * out_w * 3);
+  for (int y = 0; y < tmp_h; ++y) {
+    const uint8_t* srow = src.data.data() + static_cast<size_t>(y + y_lo) * src.w * 3;
+    float* trow = &tmp[static_cast<size_t>(y) * out_w * 3];
+    for (int x = 0; x < out_w; ++x) {
+      const int first = cx.bounds[x * 2], count = cx.bounds[x * 2 + 1];
+      const double* w = &cx.weights[static_cast<size_t>(x) * cx.kmax];
+      double r = 0, g = 0, b = 0;
+      for (int j = 0; j < count; ++j) {
+        const int sx = std::min(std::max(first + j, 0), src.w - 1);
+        const uint8_t* p = srow + sx * 3;
+        r += w[j] * p[0];
+        g += w[j] * p[1];
+        b += w[j] * p[2];
+      }
+      trow[x * 3 + 0] = static_cast<float>(r);
+      trow[x * 3 + 1] = static_cast<float>(g);
+      trow[x * 3 + 2] = static_cast<float>(b);
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < out_h; ++y) {
+    const int first = cy.bounds[y * 2], count = cy.bounds[y * 2 + 1];
+    const double* w = &cy.weights[static_cast<size_t>(y) * cy.kmax];
+    uint8_t* drow = dst + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      double r = 0, g = 0, b = 0;
+      for (int j = 0; j < count; ++j) {
+        const int sy = std::min(std::max(first + j - y_lo, 0), tmp_h - 1);
+        const float* p = &tmp[(static_cast<size_t>(sy) * out_w + x) * 3];
+        r += w[j] * p[0];
+        g += w[j] * p[1];
+        b += w[j] * p[2];
+      }
+      drow[x * 3 + 0] = clamp8(r);
+      drow[x * 3 + 1] = clamp8(g);
+      drow[x * 3 + 2] = clamp8(b);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Transforms: eval (resize shorter -> center crop), train (RandomResizedCrop)
+// ---------------------------------------------------------------------------
+
+void eval_transform(const Image& img, int size, uint8_t* out) {
+  // Resize shorter side to `size` (PIL rounding), then center crop to size x size.
+  // Mirrors multimodal_tpu/data/preprocess.py:eval_transform.
+  const double scale = static_cast<double>(size) / std::min(img.w, img.h);
+  const int new_w = std::max<int>(std::lround(img.w * scale), size);
+  const int new_h = std::max<int>(std::lround(img.h * scale), size);
+  // Fold the center crop into the resample source box: output pixel grid of the crop
+  // corresponds to source box offset by crop_origin * (in/out per axis).
+  const int left = (new_w - size) / 2, top = (new_h - size) / 2;
+  const double sx = static_cast<double>(img.w) / new_w;
+  const double sy = static_cast<double>(img.h) / new_h;
+  resample(img, left * sx, top * sy, (left + size) * sx, (top + size) * sy, size, size, out);
+}
+
+void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out) {
+  // torchvision RandomResizedCrop(scale=(0.9,1.0), ratio=(3/4,4/3)) sampling algorithm
+  // (reference transform.py:108-117): 10 area/log-ratio attempts, center-crop fallback.
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> u01(0.0, 1.0);
+  const double area = static_cast<double>(img.w) * img.h;
+  const double log_r0 = std::log(3.0 / 4.0), log_r1 = std::log(4.0 / 3.0);
+  int cw = -1, ch = -1, left = 0, top = 0;
+  for (int attempt = 0; attempt < 10; ++attempt) {
+    const double target_area = area * (0.9 + 0.1 * u01(rng));
+    const double aspect = std::exp(log_r0 + (log_r1 - log_r0) * u01(rng));
+    const int w = static_cast<int>(std::lround(std::sqrt(target_area * aspect)));
+    const int h = static_cast<int>(std::lround(std::sqrt(target_area / aspect)));
+    if (w > 0 && w <= img.w && h > 0 && h <= img.h) {
+      cw = w;
+      ch = h;
+      left = static_cast<int>(u01(rng) * (img.w - w + 1));
+      top = static_cast<int>(u01(rng) * (img.h - h + 1));
+      break;
+    }
+  }
+  if (cw < 0) {  // fallback: clamp aspect, central crop
+    const double in_ratio = static_cast<double>(img.w) / img.h;
+    if (in_ratio < 3.0 / 4.0) {
+      cw = img.w;
+      ch = static_cast<int>(std::lround(cw / (3.0 / 4.0)));
+    } else if (in_ratio > 4.0 / 3.0) {
+      ch = img.h;
+      cw = static_cast<int>(std::lround(ch * (4.0 / 3.0)));
+    } else {
+      cw = img.w;
+      ch = img.h;
+    }
+    left = (img.w - cw) / 2;
+    top = (img.h - ch) / 2;
+  }
+  resample(img, left, top, left + cw, top + ch, size, size, out);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Decode a batch of encoded images into out[n, size, size, 3] uint8.
+// offsets[i] .. offsets[i+1] delimit sample i inside `blob` (a single packed buffer —
+// one memcpy-friendly ctypes crossing instead of n pointers).
+// mode: 0 = eval (resize+center crop), 1 = train (RandomResizedCrop, seeded by seeds[i]).
+// ok[i] = 1 decoded, 0 failed (out black-filled). Returns count of failures.
+int mm_decode_batch(const uint8_t* blob, const int64_t* offsets, int n, int size, int mode,
+                    const uint64_t* seeds, uint8_t* out, uint8_t* ok, int n_threads) {
+  std::atomic<int> next(0), failures(0);
+  // 2x headroom before DCT-domain downscaling: keeps the decode-at-1/k + bicubic result
+  // within rounding of full-decode + bicubic (no aliasing drift vs the PIL reference).
+  const int min_side = size * 2;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* buf = blob + offsets[i];
+      const size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
+      uint8_t* dst = out + static_cast<size_t>(i) * size * size * 3;
+      Image img;
+      bool good = len > 3 && buf[0] == 0xFF && buf[1] == 0xD8 &&
+                  decode_jpeg(buf, len, min_side, &img) && img.w > 0 && img.h > 0;
+      if (!good) {
+        std::memset(dst, 0, static_cast<size_t>(size) * size * 3);
+        ok[i] = 0;
+        failures.fetch_add(1);
+        continue;
+      }
+      if (mode == 1) {
+        train_transform(img, size, seeds ? seeds[i] : 0, dst);
+      } else {
+        eval_transform(img, size, dst);
+      }
+      ok[i] = 1;
+    }
+  };
+  const int t = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int k = 0; k < t; ++k) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Probe: is this buffer a JPEG we handle natively? (PNG/webp go to the Python fallback.)
+int mm_is_jpeg(const uint8_t* buf, int64_t len) {
+  return (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF) ? 1 : 0;
+}
+
+}  // extern "C"

@@ -54,7 +54,7 @@ def attention(q, k, v, *, causal: bool = False, mask=None, impl: str = "auto"):
         ):
             from multimodal_tpu.ops.flash_attention import flash_supported
 
-            if flash_supported(q.shape, k.shape):
+            if flash_supported(q.shape, k.shape, causal):
                 impl = "flash"
     if impl == "flash":
         from multimodal_tpu.ops.flash_attention import flash_attention

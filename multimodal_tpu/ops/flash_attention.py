@@ -1,14 +1,19 @@
 """Pallas TPU flash attention (forward + backward), MXU-tiled, full and causal variants.
 
-The framework's hot kernel: replaces the reference's torch.nn.MultiheadAttention compute
-(align_clip/transformer.py:193-290) with an online-softmax blocked kernel that never
-materializes the [B, H, S, S] probability tensor in HBM — neither in forward nor in backward
-(the classic FlashAttention-2 decomposition: fwd saves only the per-row logsumexp; bwd
-recomputes P blockwise and accumulates dQ / dK / dV on-chip).
+Blocked online-softmax attention: forward saves only the per-row logsumexp; backward
+recomputes probability blocks on-chip (dQ and dK/dV kernels), so the [B, H, S, S] matrix
+never touches HBM in either direction (the FlashAttention-2 decomposition). Replaces the
+reference's torch.nn.MultiheadAttention compute (align_clip/transformer.py:193-290).
 
-Shapes are CLIP-scale (S in {50, 77, 197, 257}, head_dim 64) but the kernel is generic:
-sequences are padded to 128-token tiles with in-kernel masking, head_dim is padded to the
-128-lane MXU width (zero columns are exact no-ops for QK^T and are sliced off the outputs).
+Performance notes (measured on v5e):
+  * head_dim is NOT padded to the 128-lane width — D=64 operands run at half-MXU width,
+    which is still 2x cheaper than zero-padding the contraction;
+  * causal grids predicate fully-masked blocks off (skip compute, keep accumulator state);
+  * k tiles are 256 wide to amortize per-program overhead;
+  * at CLIP sequence lengths (50-257 tokens) XLA's fused batched einsum wins regardless —
+    the probs tensor is small and fusion is excellent — so auto-dispatch
+    (multimodal_tpu.ops.attention) only selects flash for long sequences where the S^2
+    HBM blowup dominates. The kernel is the long-context path, not the ViT path.
 
 Public API: ``flash_attention(q, k, v, causal=False)`` over ``[B, S, H, D]`` — same layout as
 multimodal_tpu.ops.attention. Differentiable via custom_vjp. On non-TPU backends the kernels
@@ -24,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128  # q/k tile (sublane) size; also the MXU systolic dimension
+BLOCK_Q = 128  # q tile (sublane dimension of the MXU)
+BLOCK_K = 256  # k tile; larger k blocks amortize per-program overhead
 LANES = 128
 NEG_INF = -1e30  # finite stand-in for -inf: keeps exp()/max() NaN-free on fully-masked rows
 
@@ -42,10 +48,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def flash_supported(q_shape, k_shape) -> bool:
-    """Gate for automatic dispatch from multimodal_tpu.ops.attention."""
+def flash_supported(q_shape, k_shape, causal: bool = False) -> bool:
+    """Gate for automatic dispatch, set from v5e measurements: causal long-context is where
+    the kernel beats XLA's fused einsum (block skipping + no S^2 HBM traffic); for full
+    attention and for short sequences XLA wins. head_dim must fit one lane block."""
     b, sq, h, d = q_shape
-    return d <= LANES and k_shape[1] >= 1
+    return causal and d <= LANES and k_shape[1] >= 2048
+
+
+def _causal_live(qi, ki, block_q: int, block_k: int):
+    """True unless the (qi, ki) block lies entirely above the causal diagonal."""
+    return (ki * block_k) <= (qi * block_q + block_q - 1)
+
+
+def _mask(s, qi, ki, *, causal, seq_len_k, block_q, block_k):
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    valid = col < seq_len_k
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        valid = jnp.logical_and(valid, col <= row)
+    return jnp.where(valid, s, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -55,7 +77,7 @@ def flash_supported(q_shape, k_shape) -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, sm_scale,
                 causal, seq_len_k, block_q, block_k, num_k_blocks, precision):
-    ki = pl.program_id(3)
+    qi, ki = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ki == 0)
     def _():
@@ -63,32 +85,31 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    ) * sm_scale  # [BQ, BK]
+    live = _causal_live(qi, ki, block_q, block_k) if causal else True
 
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = col < seq_len_k
-    if causal:
-        qi = pl.program_id(2)
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        valid = jnp.logical_and(valid, col <= row)
-    s = jnp.where(valid, s, NEG_INF)
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * sm_scale  # [BQ, BK]
+        s = _mask(s, qi, ki, causal=causal, seq_len_k=seq_len_k,
+                  block_q=block_q, block_k=block_k)
 
-    m_prev = m_scr[:, 0:1]  # [BQ, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)  # [BQ, BK]
-    alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
-    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        m_prev = m_scr[:, 0:1]  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [BQ, BK]
+        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+        )
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(ki == num_k_blocks - 1)
     def _():
@@ -101,43 +122,43 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 
 
 def _fwd(q, k, v, causal: bool, sm_scale: float, true_sk: int):
-    """q/k/v: [B, H, Sp, Dp] padded; true_sk = unpadded key length (mask bound).
-    Returns (out [B,H,Sp,Dp], lse [B,H,Sp,LANES])."""
+    """q/k/v: [B, H, Sp, D] padded along S; true_sk = unpadded key length (mask bound).
+    Returns (out [B,H,Sp,D], lse [B,H,Sp,LANES])."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    nq, nk = sq // BLOCK, sk // BLOCK
+    nq, nk = sq // BLOCK_Q, sk // BLOCK_K
     grid = (b, h, nq, nk)
 
-    kv_spec = pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    kv_spec = pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             sm_scale=sm_scale,
             causal=causal,
             seq_len_k=true_sk,
-            block_q=BLOCK,
-            block_k=BLOCK,
+            block_q=BLOCK_Q,
+            block_k=BLOCK_K,
             num_k_blocks=nk,
             precision=_precision(q.dtype),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             kv_spec,
             kv_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, BLOCK, LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK, d), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, LANES), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, LANES), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -159,38 +180,39 @@ def _recompute_p(q_blk, k_blk, lse_blk, *, sm_scale, causal, seq_len_k, qi, ki,
         q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,
     ) * sm_scale
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = col < seq_len_k
-    if causal:
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        valid = jnp.logical_and(valid, col <= row)
-    return jnp.where(valid, jnp.exp(s - lse_blk), 0.0)
+    s = _mask(s, qi, ki, causal=causal, seq_len_k=seq_len_k,
+              block_q=block_q, block_k=block_k)
+    return jnp.exp(s - lse_blk)  # masked entries: exp(NEG_INF - lse) == 0
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
                sm_scale, causal, seq_len_k, block_q, block_k, num_k_blocks, precision):
-    ki = pl.program_id(3)
+    qi, ki = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ki == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    p = _recompute_p(
-        q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
-        seq_len_k=seq_len_k, qi=pl.program_id(2), ki=ki,
-        block_q=block_q, block_k=block_k, precision=precision,
-    )
-    do = do_ref[0, 0].astype(jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )  # [BQ, BK]
-    ds = p * (dp - delta_ref[0, 0][:, 0:1])
-    dq_scr[:] += sm_scale * jnp.dot(
-        ds, k, preferred_element_type=jnp.float32, precision=precision
-    )
+    live = _causal_live(qi, ki, block_q, block_k) if causal else True
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        p = _recompute_p(
+            q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
+            seq_len_k=seq_len_k, qi=qi, ki=ki,
+            block_q=block_q, block_k=block_k, precision=precision,
+        )
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [BQ, BK]
+        ds = p * (dp - delta_ref[0, 0][:, 0:1])
+        dq_scr[:] += sm_scale * jnp.dot(
+            ds, k, preferred_element_type=jnp.float32, precision=precision
+        )
 
     @pl.when(ki == num_k_blocks - 1)
     def _():
@@ -200,36 +222,41 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                 dk_scr, dv_scr, *, sm_scale, causal, seq_len_k, block_q, block_k,
                 num_q_blocks, precision):
-    qi = pl.program_id(3)
+    # grid is (b, h, k-block, q-block): qi is the INNER (accumulating) dimension
+    ki, qi = pl.program_id(2), pl.program_id(3)
 
     @pl.when(qi == 0)
     def _():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    p = _recompute_p(
-        q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
-        seq_len_k=seq_len_k, qi=qi, ki=pl.program_id(2),
-        block_q=block_q, block_k=block_k, precision=precision,
-    )  # [BQ, BK]
-    do = do_ref[0, 0].astype(jnp.float32)
-    # dV += P^T dO
-    dv_scr[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    dp = jax.lax.dot_general(
-        do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    ds = p * (dp - delta_ref[0, 0][:, 0:1])  # [BQ, BK]
-    # dK += dS^T Q * scale
-    dk_scr[:] += sm_scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    live = _causal_live(qi, ki, block_q, block_k) if causal else True
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        p = _recompute_p(
+            q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
+            seq_len_k=seq_len_k, qi=qi, ki=ki,
+            block_q=block_q, block_k=block_k, precision=precision,
+        )  # [BQ, BK]
+        do = do_ref[0, 0].astype(jnp.float32)
+        # dV += P^T dO
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, 0:1])  # [BQ, BK]
+        # dK += dS^T Q * scale
+        dk_scr[:] += sm_scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
     @pl.when(qi == num_q_blocks - 1)
     def _():
@@ -241,36 +268,35 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
     q, k, v, out, lse = residuals
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    nq, nk = sq // BLOCK, sk // BLOCK
+    nq, nk = sq // BLOCK_Q, sk // BLOCK_K
 
     do = g
     # delta_i = rowsum(dO * O) — cheap elementwise, let XLA fuse it; broadcast to lane width
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
     delta = jnp.broadcast_to(delta[..., None], (b, h, sq, LANES))
 
-    q_spec = pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, i, 0))
-    kv_spec_i = pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, i, 0))
-    row_spec = pl.BlockSpec((1, 1, BLOCK, LANES), lambda bi, hi, i, j: (bi, hi, i, 0))
+    q_spec = pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, i, j: (bi, hi, i, 0))
+    row_spec = pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, i, j: (bi, hi, i, 0))
 
-    # dQ: grid over q blocks (parallel), k blocks innermost (arbitrary/accumulating)
+    # dQ: grid over q blocks (parallel), k blocks innermost (accumulating)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, sm_scale=sm_scale, causal=causal, seq_len_k=true_sk,
-            block_q=BLOCK, block_k=BLOCK, num_k_blocks=nk,
+            block_q=BLOCK_Q, block_k=BLOCK_K, num_k_blocks=nk,
             precision=_precision(q.dtype),
         ),
         grid=(b, h, nq, nk),
         in_specs=[
             q_spec,
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # k
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # v
+            pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # k
+            pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # v
             q_spec,  # do
             row_spec,  # lse
             row_spec,  # delta
         ],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLOCK_Q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -278,29 +304,32 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
     )(q, k, v, do, lse, delta)
 
     # dK/dV: grid over k blocks (parallel), q blocks innermost (accumulating)
+    kv_spec = pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, i, 0))
+    q_inner = pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, i, j: (bi, hi, j, 0))
+    row_inner = pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, i, j: (bi, hi, j, 0))
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, sm_scale=sm_scale, causal=causal, seq_len_k=true_sk,
-            block_q=BLOCK, block_k=BLOCK, num_q_blocks=nq,
+            block_q=BLOCK_Q, block_k=BLOCK_K, num_q_blocks=nq,
             precision=_precision(q.dtype),
         ),
         grid=(b, h, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # q
-            kv_spec_i,  # k
-            kv_spec_i,  # v
-            pl.BlockSpec((1, 1, BLOCK, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # do
-            pl.BlockSpec((1, 1, BLOCK, LANES), lambda bi, hi, i, j: (bi, hi, j, 0)),  # lse
-            pl.BlockSpec((1, 1, BLOCK, LANES), lambda bi, hi, i, j: (bi, hi, j, 0)),  # delta
+            q_inner,  # q
+            kv_spec,  # k
+            kv_spec,  # v
+            q_inner,  # do
+            row_inner,  # lse
+            row_inner,  # delta
         ],
-        out_specs=[kv_spec_i, kv_spec_i],
+        out_specs=[kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, d), jnp.float32),
-            pltpu.VMEM((BLOCK, d), jnp.float32),
+            pltpu.VMEM((BLOCK_K, d), jnp.float32),
+            pltpu.VMEM((BLOCK_K, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -332,20 +361,22 @@ _flash_padded.defvjp(_flash_padded_fwd, _bwd)
 def flash_attention(q, k, v, *, causal: bool = False, sm_scale: float | None = None):
     """Flash attention over [B, S, H, D]; returns [B, Sq, H, D] in v.dtype.
 
-    Pads S to 128-token tiles and D to the 128-lane width; padding is masked in-kernel
-    (keys) or sliced off (queries / head dim) and is gradient-exact.
+    Pads Sq to 128-token and Sk to 256-token tiles; padding is masked in-kernel (keys) or
+    sliced off (queries) and is gradient-exact. head_dim is used unpadded (must be <= 128).
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    if d > LANES:
+        raise ValueError(f"head_dim {d} > {LANES} unsupported")
     if sm_scale is None:
         sm_scale = d ** -0.5
 
-    sq_p, sk_p, d_p = _round_up(sq, BLOCK), _round_up(sk, BLOCK), _round_up(d, LANES)
+    sq_p, sk_p = _round_up(sq, BLOCK_Q), _round_up(sk, BLOCK_K)
 
     def prep(x, s_p):
         x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]), (0, d_p - d)))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]), (0, 0)))
 
     out = _flash_padded(prep(q, sq_p), prep(k, sk_p), prep(v, sk_p), causal, sm_scale, sk)
-    out = out[:, :, :sq, :d]
+    out = out[:, :, :sq, :]
     return jnp.transpose(out, (0, 2, 1, 3)).astype(v.dtype)
