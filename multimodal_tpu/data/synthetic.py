@@ -58,6 +58,7 @@ class SyntheticBatches:
         num_samples: int = 12800,
         image_size: int = IMAGE_SIZE,
         context_length: int = CONTEXT_LENGTH,
+        vocab_size: int = 49408,
         seed: int = 0,
         randomized: bool = True,
     ):
@@ -65,6 +66,7 @@ class SyntheticBatches:
         self.num_samples = num_samples
         self.image_size = image_size
         self.context_length = context_length
+        self.vocab_size = vocab_size
         self.seed = seed
         self.randomized = randomized
         self.epoch = 0
@@ -92,11 +94,14 @@ class SyntheticBatches:
                 ),
                 "text": np.concatenate(
                     [
-                        np.full((self.batch_size, 1), 49406, np.int32),
+                        np.full((self.batch_size, 1), self.vocab_size - 2, np.int32),
                         rng.integers(
-                            1, 49405, (self.batch_size, self.context_length - 2), dtype=np.int32
+                            1,
+                            self.vocab_size - 3,
+                            (self.batch_size, self.context_length - 2),
+                            dtype=np.int32,
                         ),
-                        np.full((self.batch_size, 1), 49407, np.int32),
+                        np.full((self.batch_size, 1), self.vocab_size - 1, np.int32),
                     ],
                     axis=1,
                 ),

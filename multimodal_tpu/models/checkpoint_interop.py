@@ -1,0 +1,224 @@
+"""Checkpoint interop: load reference-format torch state_dicts into the JAX param tree.
+
+Counterpart of the reference's pretrained-loading paths: OpenAI CLIP ViT checkpoints
+(Models/clipModel.py:17-35 via clip.load), SharedCLIP/AlignCLIP checkpoints
+(align_clip/factory.py:85-104 load_checkpoint, 'module.' prefix stripping run.py:306-307)
+and positional-embedding resizing on image-size mismatch (align_clip/model.py:311-343).
+
+Name mapping (torch -> flax):
+    visual.conv1.weight [W,3,P,P]              -> visual_stem/patch_conv/kernel [P,P,3,W]
+    visual.class_embedding                     -> visual_stem/class_embedding
+    visual.positional_embedding                -> visual_stem/positional_embedding
+    visual.ln_pre.{weight,bias}                -> visual_stem/ln_pre/LayerNorm_0/{scale,bias}
+    visual.transformer.resblocks.{i}.attn.in_proj_weight [3W,W]
+                                               -> visual_transformer/resblock_{i}/attn/qkv/kernel (transposed)
+    ....attn.out_proj.weight [W,W]             -> .../attn/out/kernel (transposed)
+    ....mlp.c_fc.weight [4W,W]                 -> .../mlp/c_fc/kernel (transposed)
+    visual.ln_post / visual.proj               -> ln_post / visual_projection
+    token_embedding.weight                     -> text_stem/token_embedding/embedding
+    positional_embedding                       -> text_stem/positional_embedding
+    transformer.resblocks.{i}.*                -> text_transformer/resblock_{i}/* (two-tower)
+                                                  or transformer/resblock_{i}/* (shared trunk)
+    ln_final / text_projection / logit_scale   -> ln_final / text_projection / logit_scale
+SharedCLIP checkpoints additionally carry a shared 'projection' (model.py:192).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+from multimodal_tpu.models.config import CLIPConfig
+
+log = logging.getLogger(__name__)
+
+
+def _t(x):
+    return np.asarray(x, np.float32).T
+
+
+def resize_pos_embed(pos: np.ndarray, target_len: int, num_prefix: int = 1) -> np.ndarray:
+    """Bicubic-resize the 2-D grid part of a ViT positional table to a new sequence length
+    (align_clip/model.py:311-343). Prefix (CLS) rows pass through unchanged."""
+    if pos.shape[0] == target_len:
+        return pos
+    prefix, grid = pos[:num_prefix], pos[num_prefix:]
+    old = int(np.sqrt(grid.shape[0]))
+    new = int(np.sqrt(target_len - num_prefix))
+    if old * old != grid.shape[0] or new * new != target_len - num_prefix:
+        raise ValueError(f"cannot resize pos embed {pos.shape[0]} -> {target_len}")
+    try:
+        import jax
+
+        img = grid.reshape(1, old, old, -1)
+        resized = np.asarray(
+            jax.image.resize(img, (1, new, new, img.shape[-1]), method="bicubic")
+        ).reshape(new * new, -1)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        chans = [
+            np.asarray(
+                Image.fromarray(grid[:, c].reshape(old, old)).resize((new, new), Image.BICUBIC)
+            ).reshape(-1)
+            for c in range(grid.shape[1])
+        ]
+        resized = np.stack(chans, axis=1)
+    log.info("resized positional embedding %d -> %d tokens", pos.shape[0], target_len)
+    return np.concatenate([prefix, resized], axis=0).astype(pos.dtype)
+
+
+def _strip_prefixes(sd: Mapping[str, Any]) -> dict:
+    """Unwrap {'state_dict': ...} nesting and strip DDP 'module.'/'_orig_mod.' prefixes."""
+    if "state_dict" in sd and isinstance(sd["state_dict"], Mapping):
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        for pre in ("module.", "_orig_mod."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def _map_block(sd: dict, src: str, width: int) -> dict:
+    """One ResidualAttentionBlock's tensors -> flax leaf dict."""
+    qkv_w = np.asarray(sd[f"{src}.attn.in_proj_weight"], np.float32)  # [3W, W]
+    out_w = np.asarray(sd[f"{src}.attn.out_proj.weight"], np.float32)
+    return {
+        "attn": {
+            "qkv": {
+                "kernel": qkv_w.T,  # [W, 3W]; split order (q,k,v) matches jnp.split
+                "bias": np.asarray(sd[f"{src}.attn.in_proj_bias"], np.float32),
+            },
+            "out": {
+                "kernel": out_w.T,
+                "bias": np.asarray(sd[f"{src}.attn.out_proj.bias"], np.float32),
+            },
+        },
+        "ln_1": {"LayerNorm_0": {
+            "scale": np.asarray(sd[f"{src}.ln_1.weight"], np.float32),
+            "bias": np.asarray(sd[f"{src}.ln_1.bias"], np.float32),
+        }},
+        "ln_2": {"LayerNorm_0": {
+            "scale": np.asarray(sd[f"{src}.ln_2.weight"], np.float32),
+            "bias": np.asarray(sd[f"{src}.ln_2.bias"], np.float32),
+        }},
+        "mlp": {
+            "c_fc": {
+                "kernel": _t(sd[f"{src}.mlp.c_fc.weight"]),
+                "bias": np.asarray(sd[f"{src}.mlp.c_fc.bias"], np.float32),
+            },
+            "c_proj": {
+                "kernel": _t(sd[f"{src}.mlp.c_proj.weight"]),
+                "bias": np.asarray(sd[f"{src}.mlp.c_proj.bias"], np.float32),
+            },
+        },
+    }
+
+
+def _ln(sd: dict, src: str) -> dict:
+    return {"LayerNorm_0": {
+        "scale": np.asarray(sd[f"{src}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{src}.bias"], np.float32),
+    }}
+
+
+def convert_torch_state_dict(sd: Mapping[str, Any], cfg: CLIPConfig) -> dict:
+    """torch CLIP/SharedCLIP state_dict -> flax {'params': ...} tree (numpy leaves)."""
+    sd = _strip_prefixes(sd)
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    shared = cfg.share_trunk
+    grid = cfg.vision.image_size // cfg.vision.patch_size
+    target_vis_len = grid * grid + 1
+
+    p: dict = {
+        "visual_stem": {
+            "patch_conv": {
+                "kernel": np.transpose(np.asarray(sd["visual.conv1.weight"], np.float32),
+                                       (2, 3, 1, 0)),
+            },
+            "class_embedding": np.asarray(sd["visual.class_embedding"], np.float32),
+            "positional_embedding": resize_pos_embed(
+                np.asarray(sd["visual.positional_embedding"], np.float32), target_vis_len
+            ),
+            "ln_pre": _ln(sd, "visual.ln_pre"),
+        },
+        "text_stem": {
+            "token_embedding": {
+                "embedding": np.asarray(sd["token_embedding.weight"], np.float32)
+            },
+            "positional_embedding": np.asarray(sd["positional_embedding"], np.float32),
+        },
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32).reshape(()),
+    }
+
+    if shared:
+        p["transformer"] = {
+            f"resblock_{i}": _map_block(sd, f"transformer.resblocks.{i}", cfg.vision.width)
+            for i in range(cfg.vision.layers)
+        }
+        p["ln_post"] = _ln(sd, "visual.ln_post" if "visual.ln_post.weight" in sd else "ln_post")
+        proj_key = "projection" if "projection" in sd else "text_projection"
+        p["projection"] = np.asarray(sd[proj_key], np.float32)
+    else:
+        p["visual_transformer"] = {
+            f"resblock_{i}": _map_block(sd, f"visual.transformer.resblocks.{i}",
+                                        cfg.vision.width)
+            for i in range(cfg.vision.layers)
+        }
+        p["text_transformer"] = {
+            f"resblock_{i}": _map_block(sd, f"transformer.resblocks.{i}", cfg.text.width)
+            for i in range(cfg.text.layers)
+        }
+        p["ln_post"] = _ln(sd, "visual.ln_post")
+        p["ln_final"] = _ln(sd, "ln_final")
+        p["visual_projection"] = np.asarray(sd["visual.proj"], np.float32)
+        p["text_projection"] = np.asarray(sd["text_projection"], np.float32)
+
+    return {"params": p}
+
+
+def _check_tree_match(loaded, template, path=""):
+    """Every template leaf must exist with the same shape (catches silent config drift)."""
+    if isinstance(template, Mapping):
+        missing = set(template) - set(loaded)
+        extra = set(loaded) - set(template)
+        if missing or extra:
+            raise ValueError(f"param tree mismatch at {path or '/'}: "
+                             f"missing={sorted(missing)} extra={sorted(extra)}")
+        for k in template:
+            _check_tree_match(loaded[k], template[k], f"{path}/{k}")
+    else:
+        if tuple(np.shape(loaded)) != tuple(np.shape(template)):
+            raise ValueError(
+                f"shape mismatch at {path}: {np.shape(loaded)} vs {np.shape(template)}"
+            )
+
+
+def load_pretrained(path: str, params_template, cfg: CLIPConfig):
+    """Load a checkpoint by format: orbax dir, or torch .pt/.pth/.bin via torch (CPU)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), params_template
+        )
+        return restored
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):  # torchscript archive (clip.load format)
+        sd = sd.state_dict()
+    converted = convert_torch_state_dict(sd, cfg)
+    _check_tree_match(converted, params_template)
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda leaf, ref: np.asarray(leaf, np.asarray(ref).dtype), converted, params_template
+    )

@@ -136,7 +136,7 @@ def make_loss_fn(
                 axis_name=axis_name,
                 **kw,
             )
-            return res["total_loss"], res
+            return res["total_loss"], {"loss": res["total_loss"], **res}
 
         return loss_fn
 
@@ -161,6 +161,7 @@ def make_loss_fn(
                 di, dt, conc_i, conc_t, out["logit_scale"], key=rng, **kw
             )
             metrics = dict(res)
+            metrics["loss"] = res["total_loss"]
             metrics["mean_image_concentration"] = conc_i.mean()
             metrics["mean_text_concentration"] = conc_t.mean()
             return res["total_loss"], metrics

@@ -1,0 +1,196 @@
+"""Train/eval CLI flag surface.
+
+Counterpart of reference AlignCLIP/main/params.py:27-544 (~90 flags). Grouped the same way:
+data, optimization, precision/model, loss, checkpointing, logging/observability, eval
+datasets, distributed. Flags whose mechanism is GPU-specific keep their names but map to the
+TPU-native equivalent (documented inline); truly inapplicable ones (e.g. --horovod) are
+accepted-and-ignored with a warning so reference shell recipes still run."""
+
+from __future__ import annotations
+
+import argparse
+
+
+class ParseKwargs(argparse.Action):
+    """--aug-cfg key=val [key=val ...] (params.py:15-24)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, _, val = value.partition("=")
+            try:
+                kw[key] = eval(val)  # noqa: S307 - same trusted-CLI semantics as reference
+            except Exception:
+                kw[key] = val
+        setattr(namespace, self.dest, kw)
+
+
+def get_default_params(model_name: str) -> dict:
+    """Per-model optimizer defaults (params.py:9-12): ViT models use the CLIP paper values."""
+    if "ViT" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser("multimodal_tpu trainer")
+
+    # ------------------------------------------------------------------ data
+    g = parser.add_argument_group("data")
+    g.add_argument("--train-data", default=None,
+                   help="shard urls / dataset root; '::'-separated multi-source")
+    g.add_argument("--train-data-upsampling-factors", default=None,
+                   help="'::'-separated per-source resampling weights")
+    g.add_argument("--val-data", default=None)
+    g.add_argument("--train-num-samples", type=int, default=None)
+    g.add_argument("--val-num-samples", type=int, default=None)
+    g.add_argument("--dataset-type",
+                   choices=["webdataset", "coco", "laion", "cood", "csv", "synthetic", "auto"],
+                   default="auto")
+    g.add_argument("--dataset-resampled", action="store_true",
+                   help="with-replacement shard sampling")
+    g.add_argument("--csv-separator", default="\t")
+    g.add_argument("--csv-img-key", default="filepath")
+    g.add_argument("--csv-caption-key", default="title")
+    g.add_argument("--workers", type=int, default=4,
+                   help="decode threads per host (native pipeline threads, not processes)")
+    g.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+
+    # ---------------------------------------------------------- optimization
+    g = parser.add_argument_group("optimization")
+    g.add_argument("--batch-size", type=int, default=64, help="per-host batch size")
+    g.add_argument("--epochs", type=int, default=32)
+    g.add_argument("--epochs-cooldown", type=int, default=None)
+    g.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="override when the dataset cannot report its size")
+    g.add_argument("--lr", type=float, default=None)
+    g.add_argument("--beta1", type=float, default=None)
+    g.add_argument("--beta2", type=float, default=None)
+    g.add_argument("--eps", type=float, default=None)
+    g.add_argument("--wd", type=float, default=0.2)
+    g.add_argument("--warmup", type=int, default=10000, help="warmup steps")
+    g.add_argument("--lr-scheduler", choices=["cosine", "const", "const-cooldown"],
+                   default="cosine")
+    g.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    g.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    g.add_argument("--accum-freq", type=int, default=1, help="gradient accumulation steps")
+    g.add_argument("--feature-cached-accum", action="store_true",
+                   help="OpenCLIP feature-cached accumulation (enlarges the contrastive batch)")
+    g.add_argument("--grad-clip-norm", type=float, default=None)
+    g.add_argument("--skip-nonfinite", action="store_true", default=True,
+                   help="skip steps with non-finite grads (reference NaN-skip loops)")
+
+    # ------------------------------------------------------- precision/model
+    g = parser.add_argument_group("model")
+    g.add_argument("--model", default="ViT-B-32")
+    g.add_argument("--pretrained", default="", help="checkpoint path (torch .pt or orbax dir)")
+    g.add_argument("--precision",
+                   choices=["amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16", "pure_bf16",
+                            "pure_fp16", "fp32"],
+                   default="amp_bf16",
+                   help="TPU mapping: every amp/bf16 mode = bf16 compute + f32 params; "
+                        "fp32 = full f32 (params.py:218 had 8 CUDA modes)")
+    g.add_argument("--force-image-size", type=int, default=None)
+    g.add_argument("--lock-image", action="store_true",
+                   help="freeze the image tower (run.py:248-259)")
+    g.add_argument("--lock-text", action="store_true")
+    g.add_argument("--grad-checkpointing", action="store_true",
+                   help="remat per encoder block (transformer.py:319-326)")
+    g.add_argument("--torchscript", "--torchcompile", "--trace", action="store_true",
+                   dest="jit_flags_noop",
+                   help="accepted for recipe compat; jax.jit is always on")
+    # variational heads (Models/variationalClip.py)
+    g.add_argument("--variational", action="store_true")
+    g.add_argument("--distribution-type",
+                   choices=["power_spherical", "vmf", "normal"], default="power_spherical")
+    g.add_argument("--initial-concentration", type=float, default=100.0)
+    g.add_argument("--min-concentration", type=float, default=10.0)
+
+    # ------------------------------------------------------------------ loss
+    g = parser.add_argument_group("loss")
+    g.add_argument("--loss", choices=["clip", "cloob", "align", "vclip"], default="clip")
+    g.add_argument("--local-loss", action="store_true", default=True,
+                   help="local@global logits with axis-offset labels (loss.py:109-117)")
+    g.add_argument("--gather-with-grad", action="store_true", default=True,
+                   help="always true on TPU: lax.all_gather is differentiable")
+    g.add_argument("--label-smoothing", type=float, default=0.0)
+    # AlignCLIP in-modality terms (align_clip/loss.py:135-273)
+    g.add_argument("--clip-inModality-loss", action="store_true",
+                   help="use the AlignCLIP in-modality separation loss (implies --loss align)")
+    g.add_argument("--alpha", type=float, default=1.0)
+    g.add_argument("--beta", type=float, default=0.5)
+    g.add_argument("--nl_semantic_supervision", action="store_true")
+    g.add_argument("--separate_text", action="store_true", default=True)
+    g.add_argument("--separate_image", action="store_true", default=True)
+    # CLOOB (losses/cloobLoss.py)
+    g.add_argument("--inv-tau", type=float, default=30.0)
+    g.add_argument("--scale-hopfield", type=float, default=8.0)
+    # vCLIP (losses/vclipLoss.py + trainer.ipynb CONFIG)
+    g.add_argument("--kl-weight", type=float, default=100.0)
+    g.add_argument("--kl-warmup-epochs", type=int, default=0,
+                   help="linear KL annealing epochs (trainer.ipynb:cell 17)")
+    g.add_argument("--mc-samples", type=int, default=20,
+                   help="Monte-Carlo rsample count (vclipLoss.py:114)")
+    g.add_argument("--variance-reg-weight", type=float, default=1.0)
+    g.add_argument("--use-mean-only", action="store_true",
+                   help="mean-point InfoNCE instead of MC sampling")
+
+    # -------------------------------------------------------- checkpointing
+    g = parser.add_argument_group("checkpointing")
+    g.add_argument("--logs", default="./logs", help="experiment root directory")
+    g.add_argument("--name", default=None, help="experiment name (default: timestamp)")
+    g.add_argument("--resume", default=None,
+                   help="'latest' or a checkpoint step/path (run.py:139-171)")
+    g.add_argument("--save-frequency", type=int, default=1, help="epochs between saves")
+    g.add_argument("--save-most-recent", action="store_true", default=True)
+    g.add_argument("--delete-previous-checkpoint", action="store_true",
+                   help="keep only the newest checkpoint (run.py:438-441)")
+    g.add_argument("--remote-sync", default=None,
+                   help="rsync/fsspec target directory for background checkpoint sync")
+    g.add_argument("--remote-sync-frequency", type=int, default=300)
+
+    # ------------------------------------------------------------- logging
+    g = parser.add_argument_group("logging")
+    g.add_argument("--log-every-n-steps", type=int, default=100)
+    g.add_argument("--log-local", action="store_true")
+    g.add_argument("--report-to", default="", help="comma list: wandb,tensorboard")
+    g.add_argument("--wandb-project-name", default="multimodal_tpu")
+    g.add_argument("--wandb-notes", default="")
+    g.add_argument("--debug", action="store_true")
+    g.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace over N steps of epoch 0")
+
+    # ------------------------------------------------------------------ eval
+    g = parser.add_argument_group("eval")
+    g.add_argument("--val-frequency", type=int, default=1)
+    g.add_argument("--zeroshot-frequency", type=int, default=2)
+    g.add_argument("--retrieval-frequency", type=int, default=1)
+    for ds in ["imagenet-val", "imagenet-v2", "imagenet-s", "imagenet-a", "imagenet-o",
+               "imagenet-r", "cifar10", "cifar100", "flowers", "food", "stanford-cars",
+               "coco-retrieval", "flickr-retrieval"]:
+        g.add_argument(f"--{ds}", default=None, help=f"path to {ds} eval data")
+
+    # ------------------------------------------------------------ distributed
+    g = parser.add_argument_group("distributed")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--dist-backend", default=None,
+                   help="accepted for recipe compat; JAX uses its own collectives")
+    g.add_argument("--horovod", action="store_true",
+                   help="accepted for recipe compat; no-op under JAX")
+    g.add_argument("--ddp-static-graph", action="store_true", help="no-op under JAX")
+    g.add_argument("--no-set-device-rank", action="store_true", help="no-op under JAX")
+    g.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before building the mesh")
+
+    ns = parser.parse_args(args)
+
+    # per-model defaults (params.py:9-12)
+    defaults = get_default_params(ns.model)
+    for k, v in defaults.items():
+        if getattr(ns, k) is None:
+            setattr(ns, k, v)
+    if ns.clip_inModality_loss:
+        ns.loss = "align"
+    if ns.variational:
+        ns.loss = "vclip"
+    return ns

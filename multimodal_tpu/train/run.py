@@ -1,0 +1,381 @@
+"""Train/eval CLI entry point: ``python -m multimodal_tpu.train.run --train-data ...``.
+
+Counterpart of reference AlignCLIP/main/run.py:77-465 — the orchestration spine:
+parse args -> (multi-host init) -> experiment dir + logging -> model factory -> optimizer
+with wd-exclusion -> data -> LR schedule -> resume -> epoch loop {train_one_epoch, evaluate,
+checkpoint save/rotate} -> final sync. TPU redesign: a single jitted sharded train step per
+epoch loop (engine.py) instead of per-batch Python; Orbax checkpoints; the synthetic backend
+exercises the whole loop with no data (run.py:276, data.py:582)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import threading
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_tpu.data import DataInfo, build_dataset
+from multimodal_tpu.models import create_model, init_params, param_count
+from multimodal_tpu.models.config import VariationalConfig
+from multimodal_tpu.parallel import create_mesh, data_sharding, replicated_sharding
+from multimodal_tpu.train.checkpoints import CheckpointManager
+from multimodal_tpu.train.engine import TrainState, make_train_step
+from multimodal_tpu.train.logging_utils import (
+    AverageMeter,
+    ExperimentLogger,
+    ThroughputMeter,
+    setup_logging,
+)
+from multimodal_tpu.train.optimizer import make_optimizer
+from multimodal_tpu.train.params import parse_args
+from multimodal_tpu.train.schedules import make_schedule
+
+log = logging.getLogger(__name__)
+
+
+def _loss_kwargs(args) -> dict:
+    if args.loss == "clip":
+        return {"label_smoothing": args.label_smoothing, "local_loss": args.local_loss}
+    if args.loss == "cloob":
+        return {"inv_tau": args.inv_tau, "scale_hopfield": args.scale_hopfield}
+    if args.loss == "align":
+        return {"alpha": args.alpha, "beta": args.beta}
+    if args.loss == "vclip":
+        return {
+            "distribution_type": args.distribution_type,
+            "kl_weight": args.kl_weight,
+            "num_samples": args.mc_samples,
+            "var_reg_weight": args.variance_reg_weight,
+            "use_mean_only": args.use_mean_only,
+        }
+    raise ValueError(args.loss)
+
+
+def _freeze_mask(params, lock_image: bool, lock_text: bool):
+    """optax.masked zero-update mask for locked towers (run.py:248-259 lock semantics)."""
+    import optax
+
+    def keep(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if lock_image and ("visual" in name):
+            return False
+        if lock_text and ("text" in name and "logit" not in name):
+            return False
+        return True
+
+    mask = jax.tree_util.tree_map_with_path(keep, params)
+    return optax.masked, mask
+
+
+def kl_schedule(epoch: int, kl_weight: float, warmup_epochs: int) -> float:
+    """Linear KL annealing (trainer.ipynb:cell 17)."""
+    if warmup_epochs <= 0:
+        return kl_weight
+    return kl_weight * min(1.0, (epoch + 1) / warmup_epochs)
+
+
+def _start_remote_sync(local_dir: str, remote_dir: str, frequency_s: int) -> threading.Event:
+    """Background checkpoint sync every N seconds (file_utils.py:13-64). Local/posix targets
+    use a plain recursive copy; stop via the returned event."""
+    stop = threading.Event()
+
+    def loop():
+        while not stop.wait(frequency_s):
+            try:
+                subprocess.run(
+                    ["rsync" if shutil.which("rsync") else "cp", "-r", local_dir, remote_dir],
+                    check=False,
+                    capture_output=True,
+                    timeout=600,
+                )
+            except Exception as e:  # noqa: BLE001
+                log.warning("remote sync failed: %r", e)
+
+    threading.Thread(target=loop, daemon=True).start()
+    return stop
+
+
+def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
+    """Validation: paired CLIP metrics over the val set (train.py:241-356)."""
+    from multimodal_tpu.eval.retrieval import get_clip_metrics
+    from multimodal_tpu.train.engine import batch_images
+
+    @jax.jit
+    def encode(params, batch):
+        out = model.apply(params, batch_images(batch), batch["text"], normalize=True)
+        return out["image_features"], out["text_features"], out["logit_scale"]
+
+    feats_i, feats_t, ls = [], [], 1.0
+    for batch in data_val:
+        fi, ft, ls = encode(params, batch)
+        feats_i.append(np.asarray(fi))
+        feats_t.append(np.asarray(ft))
+    if not feats_i:
+        return {}
+    metrics = get_clip_metrics(
+        np.concatenate(feats_i), np.concatenate(feats_t), float(jnp.exp(jnp.asarray(ls)))
+    )
+    metrics["epoch"] = epoch
+    return metrics
+
+
+def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_devices,
+                    rng) -> tuple:
+    """Inner loop (train.py:65-239): iterate prefetched device batches through the jitted
+    step; meter batch/step time and samples/s; periodic logging."""
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    tput = ThroughputMeter(num_devices)
+    losses = {}
+    end = time.perf_counter()
+    step_in_epoch = 0
+    metrics = {}
+    profiling = args.profile_steps > 0 and epoch == 0
+
+    for i, batch in enumerate(data_train):
+        data_time.update(time.perf_counter() - end)
+        if profiling and i == 1:
+            jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        step_in_epoch += 1
+        bsz = batch["text"].shape[0]
+        tput.update(bsz)
+        batch_time.update(time.perf_counter() - end)
+        end = time.perf_counter()
+        if profiling and i == 1 + args.profile_steps:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+
+        if (i + 1) % args.log_every_n_steps == 0:
+            host_metrics = {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
+            rates = tput.rates()
+            record = {
+                "epoch": epoch,
+                "step": int(jax.device_get(state.step)),
+                "data_time": data_time.avg,
+                "batch_time": batch_time.avg,
+                **rates,
+                **host_metrics,
+            }
+            log.info(
+                "epoch %d step %d loss %.4f | %.1f samples/s (%.1f/device)",
+                epoch, record["step"], record.get("loss", float("nan")),
+                rates["samples_per_s"], rates["samples_per_s_per_device"],
+            )
+            exp_logger.log(record, step=record["step"])
+            losses = host_metrics
+            tput.reset()
+    return state, losses, step_in_epoch, rng
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+
+    # experiment naming: rank-0 decides, all hosts agree (run.py:96-98 broadcast_object)
+    if args.name is None:
+        date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+        if num_hosts > 1:
+            from jax.experimental import multihost_utils
+
+            date_str = multihost_utils.broadcast_one_to_all(
+                np.frombuffer(date_str.encode().ljust(32), dtype=np.uint8)
+            ).tobytes().decode().strip()
+        args.name = f"{args.model}-{args.loss}-{date_str}"
+    args.log_dir = os.path.join(args.logs, args.name)
+    os.makedirs(args.log_dir, exist_ok=True)
+
+    setup_logging(
+        os.path.join(args.log_dir, "out.log") if (host_id == 0 or args.log_local) else None,
+        level=logging.DEBUG if args.debug else logging.INFO,
+        rank=host_id,
+    )
+    # params.txt dump of the full config (run.py:265-270)
+    if host_id == 0:
+        with open(os.path.join(args.log_dir, "params.txt"), "w") as f:
+            for k in sorted(vars(args)):
+                f.write(f"{k}: {getattr(args, k)}\n")
+
+    report_to = [r for r in args.report_to.split(",") if r]
+    exp_logger = ExperimentLogger(
+        args.log_dir,
+        use_wandb="wandb" in report_to and host_id == 0,
+        use_tensorboard="tensorboard" in report_to and host_id == 0,
+        wandb_kwargs={"project": args.wandb_project_name, "notes": args.wandb_notes,
+                      "config": vars(args), "name": args.name},
+    )
+
+    mesh = create_mesh()
+    num_devices = len(jax.devices())
+    log.info("devices: %d x %s, hosts: %d", num_devices,
+             jax.devices()[0].device_kind, num_hosts)
+
+    # ------------------------------------------------------------------ model
+    dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
+    vcfg = VariationalConfig(
+        model_type="Spherical" if args.distribution_type != "normal" else "Gaussian",
+        initial_concentration=args.initial_concentration,
+        min_concentration=args.min_concentration,
+    ) if args.variational else None
+    model = create_model(
+        args.model, variational=args.variational, vcfg=vcfg, dtype=dtype,
+        remat=args.grad_checkpointing or None,
+    )
+    params = init_params(model, jax.random.PRNGKey(args.seed))
+    if args.pretrained:
+        from multimodal_tpu.models.checkpoint_interop import load_pretrained
+
+        params = load_pretrained(args.pretrained, params, model.cfg)
+    log.info("model %s: %.1fM params", args.model, param_count(params) / 1e6)
+
+    # ------------------------------------------------------------------- data
+    dataset_type = args.dataset_type
+    if dataset_type == "auto":
+        dataset_type = "synthetic" if not args.train_data else (
+            "webdataset" if ".tar" in args.train_data else "coco"
+        )
+    data_kw = {
+        "image_size": args.force_image_size or model.cfg.vision.image_size,
+        "context_length": model.cfg.text.context_length,
+    }
+    if dataset_type == "webdataset":
+        data_kw.update(
+            resampled=args.dataset_resampled,
+            weights=args.train_data_upsampling_factors,
+        )
+    if dataset_type == "csv":
+        data_kw.update(img_key=args.csv_img_key, caption_key=args.csv_caption_key,
+                       sep=args.csv_separator)
+    if dataset_type == "synthetic":
+        data_kw.update(
+            num_samples=args.train_num_samples or 100 * args.batch_size,
+            vocab_size=model.cfg.text.vocab_size,
+        )
+    train_src = build_dataset(
+        dataset_type, path=args.train_data or "", batch_size=args.batch_size,
+        train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id, **data_kw,
+    )
+    data_train = DataInfo(train_src, sharding=data_sharding(mesh))
+    data_val = None
+    if args.val_data:
+        val_type = "webdataset" if ".tar" in args.val_data else dataset_type
+        val_src = build_dataset(
+            val_type, path=args.val_data, batch_size=args.batch_size, train=False,
+            seed=args.seed, num_hosts=num_hosts, host_id=host_id,
+            image_size=data_kw["image_size"], context_length=data_kw["context_length"],
+        )
+        data_val = DataInfo(val_src, sharding=data_sharding(mesh))
+
+    steps_per_epoch = args.steps_per_epoch or train_src.num_batches or 1000
+    total_steps = steps_per_epoch * args.epochs
+
+    # -------------------------------------------------------------- optimizer
+    schedule = make_schedule(
+        args.lr_scheduler, args.lr, warmup_steps=args.warmup, total_steps=total_steps,
+        cooldown_steps=(args.epochs_cooldown or 0) * steps_per_epoch,
+        cooldown_power=args.lr_cooldown_power, cooldown_end_lr=args.lr_cooldown_end,
+    )
+    tx = make_optimizer(
+        schedule, weight_decay=args.wd, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        grad_clip_norm=args.grad_clip_norm, skip_nonfinite=args.skip_nonfinite,
+    )
+    if args.lock_image or args.lock_text:
+        import optax
+
+        masked, mask = _freeze_mask(params, args.lock_image, args.lock_text)
+        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
+            lambda m: not m, mask)))
+
+    state = TrainState.create(params, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    # ---------------------------------------------------------------- resume
+    ckpt = CheckpointManager(
+        os.path.join(args.log_dir, "checkpoints"),
+        max_to_keep=1 if args.delete_previous_checkpoint else None,
+    )
+    start_epoch = 0
+    if args.resume:
+        step = None if args.resume == "latest" else int(args.resume)
+        restored, meta = ckpt.restore(jax.device_get(state), step=step)
+        if restored is not None:
+            state = jax.device_put(restored, replicated_sharding(mesh))
+            start_epoch = (meta or {}).get("epoch", 0) + 1
+            log.info("resumed from step %s (epoch %d)", ckpt.latest_step(), start_epoch)
+        else:
+            log.info("no checkpoint found; starting fresh")
+
+    sync_stop = None
+    if args.remote_sync and host_id == 0:
+        sync_stop = _start_remote_sync(args.log_dir, args.remote_sync,
+                                       args.remote_sync_frequency)
+
+    # ----------------------------------------------------------------- loops
+    loss_kwargs = _loss_kwargs(args)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    # eval-only mode (run.py:378-400): no training data -> evaluate and exit
+    if args.train_data is None and (data_val is not None or args.dataset_type != "synthetic") \
+            and args.epochs == 0:
+        if data_val is not None:
+            metrics = evaluate(model, state.params, data_val, mesh, 0, args)
+            log.info("eval: %s", metrics)
+            exp_logger.log({"eval": True, **metrics})
+        return 0
+
+    def build_step(epoch: int):
+        kw = loss_kwargs
+        if args.loss == "vclip" and args.kl_warmup_epochs:
+            kw = dict(kw, kl_weight=kl_schedule(epoch, args.kl_weight,
+                                                args.kl_warmup_epochs))
+        return make_train_step(
+            model, tx, loss_type=args.loss, loss_kwargs=kw, mesh=mesh,
+            accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
+            donate=True,
+        )
+
+    # the step is compiled once; only KL annealing (a changed constant) forces a rebuild
+    rebuild_every_epoch = args.loss == "vclip" and bool(args.kl_warmup_epochs)
+    step_fn = build_step(start_epoch)
+    for epoch in range(start_epoch, args.epochs):
+        data_train.set_epoch(epoch)
+        if rebuild_every_epoch and epoch != start_epoch and epoch <= args.kl_warmup_epochs:
+            step_fn = build_step(epoch)
+        t0 = time.perf_counter()
+        state, losses, n_steps, rng = train_one_epoch(
+            step_fn, state, data_train, epoch, args, exp_logger, num_devices, rng
+        )
+        log.info("epoch %d done: %d steps in %.1fs", epoch, n_steps,
+                 time.perf_counter() - t0)
+
+        if data_val is not None and (epoch + 1) % args.val_frequency == 0:
+            metrics = evaluate(model, state.params, data_val, mesh, epoch, args)
+            log.info("eval epoch %d: %s", epoch, metrics)
+            exp_logger.log(metrics, step=int(jax.device_get(state.step)))
+
+        if (epoch + 1) % args.save_frequency == 0 or epoch == args.epochs - 1:
+            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
+                      metadata={"epoch": epoch, "name": args.name})
+            log.info("saved checkpoint at step %d", int(jax.device_get(state.step)))
+
+    ckpt.close()
+    if sync_stop is not None:
+        sync_stop.set()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
