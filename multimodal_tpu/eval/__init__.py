@@ -9,3 +9,4 @@ from multimodal_tpu.eval.zero_shot import (
 )
 from multimodal_tpu.eval.linear_probe import linear_probe_metrics, train_linear_probe
 from multimodal_tpu.eval.metadata import apply_templates, classnames, templates
+from multimodal_tpu.eval.captioning import CaptioningMetric, corpus_bleu, sentence_bleu
