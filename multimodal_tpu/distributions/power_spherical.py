@@ -70,7 +70,9 @@ class PowerSpherical:
         alpha = beta_dim + jnp.minimum(self.scale, 1e8)
         beta = jnp.full_like(alpha, beta_dim)
         z = jax.random.beta(k_beta, alpha, beta, shape=shape)
-        t = 2.0 * z - 1.0
+        # keep t strictly inside (-1, 1): at t = +-1 the sqrt(1 - t^2) factor has an
+        # infinite derivative and the implicit Beta gradient NaNs (low-kappa, low-dim risk)
+        t = jnp.clip(2.0 * z - 1.0, -1.0 + 1e-6, 1.0 - 1e-6)
         v = sample_uniform_sphere(k_dir, shape + (self.dim - 1,), dtype=self.loc.dtype)
         y = jnp.concatenate(
             [t[..., None], jnp.sqrt(jnp.clip(1.0 - t * t, 0.0)) [..., None] * v],
