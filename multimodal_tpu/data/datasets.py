@@ -41,6 +41,7 @@ class FileListDataset:
         drop_last: bool = True,
         num_hosts: int = 1,
         host_id: int = 0,
+        semantic_encoder=None,
     ):
         self.items = list(items)[host_id::num_hosts]
         self.batch_size = batch_size
@@ -49,6 +50,7 @@ class FileListDataset:
         self.context_length = context_length
         self.seed = seed
         self.drop_last = drop_last
+        self.semantic_encoder = semantic_encoder
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -90,7 +92,10 @@ class FileListDataset:
                 arr[bad] = arr[fill]
                 for b, g in zip(bad, fill):
                     texts[b] = texts[g]
-            yield {"image": arr, "text": tokenize(texts, self.context_length)}
+            batch = {"image": arr, "text": tokenize(texts, self.context_length)}
+            if self.semantic_encoder is not None:
+                batch["semantic"] = self.semantic_encoder(texts)
+            yield batch
 
 
 def coco_captions(root: str, split: str = "train", year: str = "2017") -> list[tuple[str, str]]:

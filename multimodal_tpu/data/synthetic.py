@@ -61,6 +61,7 @@ class SyntheticBatches:
         vocab_size: int = 49408,
         seed: int = 0,
         randomized: bool = True,
+        with_semantic: int = 0,
     ):
         self.batch_size = batch_size
         self.num_samples = num_samples
@@ -69,6 +70,7 @@ class SyntheticBatches:
         self.vocab_size = vocab_size
         self.seed = seed
         self.randomized = randomized
+        self.with_semantic = with_semantic
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -88,7 +90,7 @@ class SyntheticBatches:
             yield from ds.batches(self.batch_size, steps=self.num_batches)
             return
         for _ in range(self.num_batches):
-            yield {
+            batch = {
                 "image": rng.integers(
                     0, 256, (self.batch_size, self.image_size, self.image_size, 3), dtype=np.uint8
                 ),
@@ -106,3 +108,9 @@ class SyntheticBatches:
                     axis=1,
                 ),
             }
+            if self.with_semantic:
+                sem = rng.standard_normal((self.batch_size, self.with_semantic)).astype(
+                    np.float32
+                )
+                batch["semantic"] = sem / np.linalg.norm(sem, axis=1, keepdims=True)
+            yield batch

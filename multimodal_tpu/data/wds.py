@@ -153,6 +153,7 @@ class WdsReader:
         num_workers: int = 1,
         worker_id: int = 0,
         caption_key: Optional[str] = None,
+        semantic_encoder=None,
     ):
         shards, w = expand_shards(urls, weights)
         self.sampler = ShardSampler(
@@ -172,6 +173,9 @@ class WdsReader:
         self.shuffle_buffer = shuffle_buffer if train else 0
         self.seed = seed
         self.caption_key = caption_key
+        # optional host-side caption embedder adding batch['semantic'] (AlignCLIP NL
+        # semantic supervision side-input, run.py:375-376 / train.py:92-96)
+        self.semantic_encoder = semantic_encoder
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -230,4 +234,7 @@ class WdsReader:
             for b, g in zip(bad_idx, fill):
                 texts[b] = texts[g]
         tokens = tokenize(texts, self.context_length)
-        return {"image": arr, "text": tokens}
+        batch = {"image": arr, "text": tokens}
+        if self.semantic_encoder is not None:
+            batch["semantic"] = self.semantic_encoder(texts)
+        return batch

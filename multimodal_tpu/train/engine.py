@@ -91,20 +91,35 @@ def make_loss_fn(
     if loss_type == "clip":
         label_smoothing = kw.pop("label_smoothing", 0.0)
         local_loss = kw.pop("local_loss", True)
+        # contrastive_impl: 'dense' (local@global block), 'chunked' (streaming logsumexp over
+        # column chunks), 'ring' (ppermute-streamed, no all-gather) — losses/global_contrastive
+        impl = kw.pop("contrastive_impl", "dense")
+        chunk_size = kw.pop("chunk_size", 1024)
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(params, batch_images(batch), batch["text"])
-            loss = clip_loss(
-                out["image_features"],
-                out["text_features"],
-                out["logit_scale"],
-                label_smoothing=label_smoothing,
-                normalize=False,
-                axis_name=axis_name,
-                local_loss=local_loss,
-                **kw,
-            )
-            return loss, {"loss": loss, "logit_scale": out["logit_scale"]}
+            fi, ft, ls = out["image_features"], out["text_features"], out["logit_scale"]
+            if impl == "ring" and axis_name is not None:
+                from multimodal_tpu.losses.global_contrastive import ring_clip_loss
+
+                loss = ring_clip_loss(fi, ft, ls, axis_name, normalize=False, **kw)
+            elif impl == "chunked":
+                from multimodal_tpu.losses.global_contrastive import chunked_clip_loss
+
+                loss = chunked_clip_loss(
+                    fi, ft, ls, chunk_size=chunk_size, label_smoothing=label_smoothing,
+                    normalize=False, axis_name=axis_name, **kw,
+                )
+            else:
+                loss = clip_loss(
+                    fi, ft, ls,
+                    label_smoothing=label_smoothing,
+                    normalize=False,
+                    axis_name=axis_name,
+                    local_loss=local_loss,
+                    **kw,
+                )
+            return loss, {"loss": loss, "logit_scale": ls}
 
         return loss_fn
 

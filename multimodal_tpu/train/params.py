@@ -114,12 +114,20 @@ def parse_args(args=None):
     g.add_argument("--gather-with-grad", action="store_true", default=True,
                    help="always true on TPU: lax.all_gather is differentiable")
     g.add_argument("--label-smoothing", type=float, default=0.0)
+    g.add_argument("--contrastive-impl", choices=["dense", "chunked", "ring"],
+                   default="dense",
+                   help="global-batch logits strategy: dense local@global block, "
+                        "chunked streaming logsumexp, or ppermute ring (no all-gather)")
+    g.add_argument("--contrastive-chunk-size", type=int, default=1024)
     # AlignCLIP in-modality terms (align_clip/loss.py:135-273)
     g.add_argument("--clip-inModality-loss", action="store_true",
                    help="use the AlignCLIP in-modality separation loss (implies --loss align)")
     g.add_argument("--alpha", type=float, default=1.0)
     g.add_argument("--beta", type=float, default=0.5)
     g.add_argument("--nl_semantic_supervision", action="store_true")
+    g.add_argument("--semantic-model-path", default=None,
+                   help="local HF snapshot for caption sentence embeddings "
+                        "(e.g. all-mpnet-base-v2); hashing fallback when absent")
     g.add_argument("--separate_text", action="store_true", default=True)
     g.add_argument("--separate_image", action="store_true", default=True)
     # CLOOB (losses/cloobLoss.py)

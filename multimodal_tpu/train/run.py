@@ -43,11 +43,21 @@ log = logging.getLogger(__name__)
 
 def _loss_kwargs(args) -> dict:
     if args.loss == "clip":
-        return {"label_smoothing": args.label_smoothing, "local_loss": args.local_loss}
+        return {
+            "label_smoothing": args.label_smoothing,
+            "local_loss": args.local_loss,
+            "contrastive_impl": args.contrastive_impl,
+            "chunk_size": args.contrastive_chunk_size,
+        }
     if args.loss == "cloob":
         return {"inv_tau": args.inv_tau, "scale_hopfield": args.scale_hopfield}
     if args.loss == "align":
-        return {"alpha": args.alpha, "beta": args.beta}
+        return {
+            "alpha": args.alpha,
+            "beta": args.beta,
+            "separate_text": args.separate_text,
+            "separate_image": args.separate_image,
+        }
     if args.loss == "vclip":
         return {
             "distribution_type": args.distribution_type,
@@ -264,6 +274,17 @@ def main(argv=None):
             num_samples=args.train_num_samples or 100 * args.batch_size,
             vocab_size=model.cfg.text.vocab_size,
         )
+    # AlignCLIP NL semantic supervision: host-side caption embeddings as a batch field
+    # (reference run.py:375-376 SBERT load + train.py:92-96 per-batch embed)
+    if args.nl_semantic_supervision and args.loss == "align":
+        if dataset_type == "synthetic":
+            data_kw.update(with_semantic=256)
+        else:
+            from multimodal_tpu.data.semantic import make_semantic_encoder
+
+            data_kw.update(semantic_encoder=make_semantic_encoder(
+                getattr(args, "semantic_model_path", None)
+            ))
     train_src = build_dataset(
         dataset_type, path=args.train_data or "", batch_size=args.batch_size,
         train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id, **data_kw,
