@@ -53,7 +53,7 @@ def main():
     state = TrainState.create(params, tx)
     mesh = create_mesh()
     state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False)
+    step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=True)
 
     rng = np.random.default_rng(0)
     c = model.cfg

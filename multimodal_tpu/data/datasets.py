@@ -213,3 +213,57 @@ def build_dataset(
         host_id=host_id,
         **kw,
     )
+
+
+class LabeledImageFolder:
+    """Folder-per-class eval set -> (uint8 images [B,S,S,3], int labels [B]) batches.
+
+    The zero-shot/linear-probe input format (torchvision ImageFolder semantics used by the
+    reference's eval sets, main/data.py:123-257). Class order is sorted folder name; class
+    display names come from eval.metadata when available, else the folder names."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        batch_size: int,
+        image_size: int = preprocess.IMAGE_SIZE,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        limit: Optional[int] = None,
+    ):
+        self.classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.items = []
+        for label, cls in enumerate(self.classes):
+            cls_dir = os.path.join(root, cls)
+            for fn in sorted(os.listdir(cls_dir)):
+                if fn.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                    self.items.append((os.path.join(cls_dir, fn), label))
+        self.items = self.items[host_id::num_hosts]
+        if limit:
+            self.items = self.items[:limit]
+        self.batch_size = batch_size
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self):
+        rng = np.random.default_rng(0)
+        for start in range(0, len(self.items), self.batch_size):
+            chunk = self.items[start : start + self.batch_size]
+            buffers = []
+            for p, _ in chunk:
+                try:
+                    with open(p, "rb") as f:
+                        buffers.append(f.read())
+                except OSError:
+                    buffers.append(b"")
+            arr, ok = decode_images(buffers, self.image_size, train=False, rng=rng)
+            labels = np.asarray([l for _, l in chunk], np.int32)
+            if not ok.all():  # drop undecodable eval images (no backfill: labels matter)
+                arr, labels = arr[ok], labels[ok]
+            if len(labels):
+                yield arr, labels

@@ -21,14 +21,15 @@ def build_zero_shot_classifier(
     templates: Sequence[str],
     batch_classes: int = 10,
     tokenizer=None,
+    context_length: int = 77,
 ) -> jnp.ndarray:
-    """Return [E, C] classifier weights. encode_text_fn: [N,77] int32 -> [N,E] features."""
+    """Return [E, C] classifier weights. encode_text_fn: [N,ctx] int32 -> [N,E] features."""
     num_templates = len(templates)
     weights = []
     for start in range(0, len(classnames), batch_classes):
         chunk = classnames[start : start + batch_classes]
         texts = [t for c in chunk for t in apply_templates(c, list(templates))]
-        tokens = tokenize(texts, tokenizer=tokenizer)
+        tokens = tokenize(texts, context_length=context_length, tokenizer=tokenizer)
         feats = np.array(encode_text_fn(jnp.asarray(tokens)), np.float32, copy=True)
         feats = feats.reshape(len(chunk), num_templates, -1)
         feats /= np.linalg.norm(feats, axis=-1, keepdims=True)

@@ -1,0 +1,88 @@
+"""Batch embedding extraction — the serving-side encode API.
+
+Counterpart of reference papers-1-and-2/clip_embeddings.py:13-160 (CLIPEmbeddingExtractor:
+batched text/image encoding, L2-normalized numpy out) and the notebook embed loops
+(metrics.ipynb:cell 12 — which embedded at batch size 1; here everything is jitted at a
+fixed batch with tail padding, so arbitrary request sizes hit one compiled program).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_tpu.data.preprocess import IMAGE_SIZE
+from multimodal_tpu.data.tokenizer import tokenize
+from multimodal_tpu.data.wds import decode_images
+
+
+class Embedder:
+    """Jitted, fixed-batch text/image embedding over a CLIP-family model."""
+
+    def __init__(self, model, params, batch_size: int = 256, normalize: bool = True):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.normalize = normalize
+
+        @jax.jit
+        def _encode_text(params, tokens):
+            return model.apply(params, tokens, normalize=normalize,
+                               method=model.encode_text)
+
+        @jax.jit
+        def _encode_image(params, images):
+            x = images
+            if x.dtype == jnp.uint8:
+                from multimodal_tpu.data.preprocess import normalize_images
+
+                x = normalize_images(x)
+            return model.apply(params, x, normalize=normalize, method=model.encode_image)
+
+        self._encode_text = _encode_text
+        self._encode_image = _encode_image
+
+    def _batched(self, encode, array: np.ndarray) -> np.ndarray:
+        """Pad the tail to the fixed batch so every call reuses one compiled program."""
+        n = array.shape[0]
+        outs = []
+        for start in range(0, n, self.batch_size):
+            chunk = array[start : start + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            out = np.asarray(encode(self.params, jnp.asarray(chunk)))
+            outs.append(out if not pad else out[:-pad])
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
+
+    def embed_texts(self, texts: Sequence[str], context_length: Optional[int] = None):
+        ctx = context_length or self.model.cfg.text.context_length
+        return self._batched(self._encode_text, tokenize(list(texts), ctx))
+
+    def embed_tokens(self, tokens: np.ndarray):
+        return self._batched(self._encode_text, np.asarray(tokens, np.int32))
+
+    def embed_images(self, images: np.ndarray):
+        """images: [N, S, S, 3] uint8 or normalized float."""
+        return self._batched(self._encode_image, images)
+
+    def embed_image_bytes(self, buffers: Sequence[bytes], image_size: int = IMAGE_SIZE):
+        """Raw encoded images (JPEG/PNG bytes) -> embeddings via the native decode pipeline;
+        failed decodes come back as zero rows (flagged in the second return value)."""
+        arr, ok = decode_images(list(buffers), image_size, train=False)
+        emb = self.embed_images(arr)
+        emb[~ok] = 0.0
+        return emb, ok
+
+    def embed_image_files(self, paths: Sequence[str], image_size: int = IMAGE_SIZE):
+        buffers = []
+        for p in paths:
+            try:
+                with open(p, "rb") as f:
+                    buffers.append(f.read())
+            except OSError:
+                buffers.append(b"")
+        return self.embed_image_bytes(buffers, image_size)

@@ -85,15 +85,18 @@ def _strip_prefixes(sd: Mapping[str, Any]) -> dict:
 
 
 def _map_block(sd: dict, src: str, width: int) -> dict:
-    """One ResidualAttentionBlock's tensors -> flax leaf dict."""
+    """One ResidualAttentionBlock's tensors -> flax leaf dict. torch's fused in_proj
+    [3W, W] splits into our separate query/key/value kernels (row order is q, k, v)."""
     qkv_w = np.asarray(sd[f"{src}.attn.in_proj_weight"], np.float32)  # [3W, W]
+    qkv_b = np.asarray(sd[f"{src}.attn.in_proj_bias"], np.float32)
     out_w = np.asarray(sd[f"{src}.attn.out_proj.weight"], np.float32)
+    qw, kw, vw = np.split(qkv_w, 3, axis=0)
+    qb, kb, vb = np.split(qkv_b, 3, axis=0)
     return {
         "attn": {
-            "qkv": {
-                "kernel": qkv_w.T,  # [W, 3W]; split order (q,k,v) matches jnp.split
-                "bias": np.asarray(sd[f"{src}.attn.in_proj_bias"], np.float32),
-            },
+            "query": {"kernel": qw.T, "bias": qb},
+            "key": {"kernel": kw.T, "bias": kb},
+            "value": {"kernel": vw.T, "bias": vb},
             "out": {
                 "kernel": out_w.T,
                 "bias": np.asarray(sd[f"{src}.attn.out_proj.bias"], np.float32),

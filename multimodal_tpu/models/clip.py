@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_tpu.models.config import CLIPConfig, VariationalConfig
-from multimodal_tpu.models.layers import LayerNorm, Transformer
+from multimodal_tpu.models.layers import LayerNorm, PatchDropout, Transformer
 
 Dtype = Any
 
@@ -50,10 +50,11 @@ class VisionStem(nn.Module):
     patch_size: int
     image_size: int
     extra_tokens: int = 0
+    patch_dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, train: bool = False):
         b = images.shape[0]
         grid = self.image_size // self.patch_size
         seq_len = grid * grid + 1 + self.extra_tokens
@@ -85,6 +86,10 @@ class VisionStem(nn.Module):
             "positional_embedding", nn.initializers.normal(scale), (seq_len, self.width)
         )
         x = x + pos.astype(self.dtype)
+        if self.patch_dropout > 0.0:
+            x = PatchDropout(self.patch_dropout, num_prefix=1, name="patch_dropout")(
+                x, deterministic=not train
+            )
         return LayerNorm(name="ln_pre")(x)
 
 
@@ -143,7 +148,11 @@ class CLIP(nn.Module):
     def setup(self):
         c = self.cfg
         self.visual_stem = VisionStem(
-            c.vision.width, c.vision.patch_size, c.vision.image_size, dtype=self.dtype
+            c.vision.width,
+            c.vision.patch_size,
+            c.vision.image_size,
+            patch_dropout=c.vision.patch_dropout,
+            dtype=self.dtype,
         )
         self.text_stem = TextStem(
             c.text.width, c.text.vocab_size, c.text.context_length, dtype=self.dtype
@@ -201,8 +210,8 @@ class CLIP(nn.Module):
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), ()
         )
 
-    def encode_image(self, images, normalize: bool = False):
-        x = self.visual_stem(images)
+    def encode_image(self, images, normalize: bool = False, train: bool = False):
+        x = self.visual_stem(images, train=train)
         if self.cfg.share_trunk:
             x = self.trunk(x)
             pooled = self.ln_post(x[:, 0])
@@ -230,9 +239,9 @@ class CLIP(nn.Module):
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
 
-    def __call__(self, images, tokens, normalize: bool = True):
+    def __call__(self, images, tokens, normalize: bool = True, train: bool = False):
         return {
-            "image_features": self.encode_image(images, normalize=normalize),
+            "image_features": self.encode_image(images, normalize=normalize, train=train),
             "text_features": self.encode_text(tokens, normalize=normalize),
             "logit_scale": self.logit_scale,
         }

@@ -22,6 +22,7 @@ class VisionConfig:
     layers: int = 12
     heads: int = 12
     mlp_ratio: float = 4.0
+    patch_dropout: float = 0.0  # FLIP-style token drop at train time (transformer.py:51-88)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +70,7 @@ def _vision_from_json(d: dict) -> VisionConfig:
         layers=d.get("layers", 12),
         heads=d.get("heads", d.get("width", 768) // 64),
         mlp_ratio=d.get("mlp_ratio", 4.0),
+        patch_dropout=d.get("patch_dropout", 0.0),
     )
 
 

@@ -25,12 +25,17 @@ def create_model(
     vcfg: Optional[VariationalConfig] = None,
     dtype: Any = jnp.float32,
     remat: Optional[bool] = None,
+    patch_dropout: Optional[float] = None,
 ):
+    import dataclasses
+
     cfg = get_model_config(name)
     if remat is not None:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, remat=remat)
+    if patch_dropout is not None:  # --force-patch-dropout (reference params.py:246-251)
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, patch_dropout=patch_dropout)
+        )
     if variational:
         return VariationalCLIP(cfg=cfg, vcfg=vcfg or VariationalConfig(), dtype=dtype)
     return CLIP(cfg=cfg, dtype=dtype)

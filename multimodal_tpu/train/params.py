@@ -91,6 +91,8 @@ def parse_args(args=None):
                    help="TPU mapping: every amp/bf16 mode = bf16 compute + f32 params; "
                         "fp32 = full f32 (params.py:218 had 8 CUDA modes)")
     g.add_argument("--force-image-size", type=int, default=None)
+    g.add_argument("--force-patch-dropout", type=float, default=None,
+                   help="FLIP-style patch token dropout rate at train time")
     g.add_argument("--lock-image", action="store_true",
                    help="freeze the image tower (run.py:248-259)")
     g.add_argument("--lock-text", action="store_true")

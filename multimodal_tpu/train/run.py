@@ -137,6 +137,68 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
     return metrics
 
 
+ZERO_SHOT_DATASETS = {  # CLI flag -> metadata class-table key (zero_shot.py:65-84)
+    "imagenet_val": "imagenet",
+    "imagenet_v2": "imagenet-v2",
+    "imagenet_s": "imagenet-sketch",
+    "imagenet_a": "imagenet-a",
+    "imagenet_o": "imagenet-o",
+    "imagenet_r": "imagenet-r",
+    "cifar10": "cifar10",
+    "cifar100": "cifar100",
+    "flowers": "flowers102",
+    "food": "food101",
+    "stanford_cars": "stanford-cars",
+}
+
+
+def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
+    """Zero-shot classification over every eval set whose path flag is given
+    (main/zero_shot.py:51-146: build template-averaged classifier, batched top-1/5)."""
+    from multimodal_tpu.data.datasets import LabeledImageFolder
+    from multimodal_tpu.eval.metadata import classnames, templates
+    from multimodal_tpu.eval.zero_shot import build_zero_shot_classifier, zero_shot_eval
+    from multimodal_tpu.train.engine import batch_images
+
+    active = {k: getattr(args, k) for k in ZERO_SHOT_DATASETS if getattr(args, k, None)}
+    if not active:
+        return {}
+
+    @jax.jit
+    def encode_text(tokens):
+        return model.apply(params, tokens, normalize=True, method=model.encode_text)
+
+    @jax.jit
+    def encode_image(images):
+        return model.apply(
+            params, batch_images({"image": images}), normalize=True,
+            method=model.encode_image,
+        )
+
+    results = {}
+    tmpl = templates("openai")
+    for flag, meta_key in ZERO_SHOT_DATASETS.items():
+        path = active.get(flag)
+        if not path:
+            continue
+        ds = LabeledImageFolder(path, batch_size=args.batch_size,
+                                image_size=model.cfg.vision.image_size)
+        try:
+            names = classnames(meta_key)
+            if len(names) != len(ds.classes):  # folder set != canonical table
+                names = [c.replace("_", " ") for c in ds.classes]
+        except KeyError:
+            names = [c.replace("_", " ") for c in ds.classes]
+        classifier = build_zero_shot_classifier(
+            encode_text, names, tmpl, context_length=model.cfg.text.context_length
+        )
+        acc = zero_shot_eval(encode_image, classifier, iter(ds))
+        results[f"{flag}-zeroshot-top1"] = acc["top1"]
+        results[f"{flag}-zeroshot-top5"] = acc["top5"]
+        log.info("zero-shot %s: top1 %.4f top5 %.4f", flag, acc["top1"], acc["top5"])
+    return results
+
+
 def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_devices,
                     rng) -> tuple:
     """Inner loop (train.py:65-239): iterate prefetched device batches through the jitted
@@ -243,6 +305,7 @@ def main(argv=None):
     model = create_model(
         args.model, variational=args.variational, vcfg=vcfg, dtype=dtype,
         remat=args.grad_checkpointing or None,
+        patch_dropout=args.force_patch_dropout,
     )
     params = init_params(model, jax.random.PRNGKey(args.seed))
     if args.pretrained:
@@ -348,13 +411,14 @@ def main(argv=None):
     loss_kwargs = _loss_kwargs(args)
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    # eval-only mode (run.py:378-400): no training data -> evaluate and exit
-    if args.train_data is None and (data_val is not None or args.dataset_type != "synthetic") \
-            and args.epochs == 0:
+    # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val set + zero-shot) and exit
+    if args.epochs == 0:
+        record = {"eval": True}
         if data_val is not None:
-            metrics = evaluate(model, state.params, data_val, mesh, 0, args)
-            log.info("eval: %s", metrics)
-            exp_logger.log({"eval": True, **metrics})
+            record.update(evaluate(model, state.params, data_val, mesh, 0, args))
+        record.update(zero_shot_eval_all(model, state.params, args, mesh))
+        log.info("eval-only: %s", record)
+        exp_logger.log(record)
         return 0
 
     def build_step(epoch: int):
@@ -386,6 +450,11 @@ def main(argv=None):
             metrics = evaluate(model, state.params, data_val, mesh, epoch, args)
             log.info("eval epoch %d: %s", epoch, metrics)
             exp_logger.log(metrics, step=int(jax.device_get(state.step)))
+
+        if not args.variational and (epoch + 1) % args.zeroshot_frequency == 0:
+            zs = zero_shot_eval_all(model, state.params, args, mesh)
+            if zs:
+                exp_logger.log({"epoch": epoch, **zs}, step=int(jax.device_get(state.step)))
 
         if (epoch + 1) % args.save_frequency == 0 or epoch == args.epochs - 1:
             ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
