@@ -320,7 +320,11 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_params = _clamp_logit_scale(new_params)
-        metrics["grad_norm"] = global_norm(grads)
+        # the optimizer's single norm pass already produced this — no recompute
+        from multimodal_tpu.train.optimizer import extract_grad_norm
+
+        norm = extract_grad_norm(new_opt_state)
+        metrics["grad_norm"] = norm if norm is not None else global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
         return new_state, metrics
 
