@@ -160,6 +160,8 @@ def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
     from multimodal_tpu.eval.zero_shot import build_zero_shot_classifier, zero_shot_eval
     from multimodal_tpu.train.engine import batch_images
 
+    if getattr(args, "variational", False):  # variational heads have no point encoder
+        return {}
     active = {k: getattr(args, k) for k in ZERO_SHOT_DATASETS if getattr(args, k, None)}
     if not active:
         return {}
@@ -196,6 +198,41 @@ def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
         results[f"{flag}-zeroshot-top1"] = acc["top1"]
         results[f"{flag}-zeroshot-top5"] = acc["top5"]
         log.info("zero-shot %s: top1 %.4f top5 %.4f", flag, acc["top1"], acc["top5"])
+    return results
+
+
+def retrieval_eval_all(model, params, args) -> dict:
+    """COCO/Flickr cross-modal retrieval (main/retrieval.py:7-102): encode every image and
+    all its captions (COCO ships ~5 per image), dense text@image.T, R@{1,5,10} both ways."""
+    from multimodal_tpu.data.datasets import coco_captions
+    from multimodal_tpu.eval.retrieval import recall_at_k
+    from multimodal_tpu.inference import Embedder
+
+    if getattr(args, "variational", False):
+        return {}
+    results = {}
+    for flag, loader in [("coco_retrieval", coco_captions)]:
+        root = getattr(args, flag, None)
+        if not root:
+            continue
+        items = loader(root, split="val")
+        # group captions by image path (retrieval.py:7-52's index maps)
+        by_image: dict = {}
+        for path, caption in items:
+            by_image.setdefault(path, []).append(caption)
+        image_paths = list(by_image)
+        captions, text_to_image = [], []
+        for i, p in enumerate(image_paths):
+            for c in by_image[p]:
+                captions.append(c)
+                text_to_image.append(i)
+        emb = Embedder(model, params, batch_size=args.batch_size)
+        img_feats, ok = emb.embed_image_files(image_paths,
+                                              image_size=model.cfg.vision.image_size)
+        txt_feats = emb.embed_texts(captions)
+        r = recall_at_k(img_feats, txt_feats, np.asarray(text_to_image))
+        results.update({f"{flag}-{k}": v for k, v in r.items()})
+        log.info("retrieval %s: %s", flag, r)
     return results
 
 
@@ -411,12 +448,13 @@ def main(argv=None):
     loss_kwargs = _loss_kwargs(args)
     rng = jax.random.PRNGKey(args.seed + 1)
 
-    # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val set + zero-shot) and exit
+    # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val/zero-shot/retrieval), exit
     if args.epochs == 0:
         record = {"eval": True}
         if data_val is not None:
             record.update(evaluate(model, state.params, data_val, mesh, 0, args))
         record.update(zero_shot_eval_all(model, state.params, args, mesh))
+        record.update(retrieval_eval_all(model, state.params, args))
         log.info("eval-only: %s", record)
         exp_logger.log(record)
         return 0
@@ -455,6 +493,10 @@ def main(argv=None):
             zs = zero_shot_eval_all(model, state.params, args, mesh)
             if zs:
                 exp_logger.log({"epoch": epoch, **zs}, step=int(jax.device_get(state.step)))
+        if not args.variational and (epoch + 1) % args.retrieval_frequency == 0:
+            rt = retrieval_eval_all(model, state.params, args)
+            if rt:
+                exp_logger.log({"epoch": epoch, **rt}, step=int(jax.device_get(state.step)))
 
         if (epoch + 1) % args.save_frequency == 0 or epoch == args.epochs - 1:
             ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
