@@ -4,3 +4,10 @@ from multimodal_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from multimodal_tpu.parallel.tp import (
+    MODEL_AXIS,
+    create_tp_mesh,
+    shard_state,
+    tp_spec_for_path,
+    tp_state_shardings,
+)

@@ -280,11 +280,16 @@ def make_train_step(
     accum_steps: int = 1,
     feature_cached_accum: bool = False,
     donate: bool = True,
+    state_shardings=None,
 ):
     """Build the jitted train step. With ``mesh``: params replicated, batch data-sharded.
 
     use_shard_map=True computes the loss inside shard_map with the local_loss form —
-    the global x global logits matrix is never materialized per chip."""
+    the global x global logits matrix is never materialized per chip.
+
+    state_shardings: an optional NamedSharding tree for the TrainState (e.g. from
+    parallel.tp.tp_state_shardings) — enables tensor parallelism over a ('data','model')
+    mesh via GSPMD propagation; mutually exclusive with use_shard_map."""
     loss_fn = make_loss_fn(model, loss_type, loss_kwargs)
 
     def grads_and_metrics(params, batch, rng, axis_name):
@@ -329,7 +334,13 @@ def make_train_step(
         return new_state, metrics
 
     jit_kwargs = {}
-    if mesh is not None:
+    if state_shardings is not None:
+        assert mesh is not None and not use_shard_map
+        replicated = NamedSharding(mesh, P())
+        data_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        jit_kwargs["in_shardings"] = (state_shardings, data_sharded, replicated)
+        jit_kwargs["out_shardings"] = (state_shardings, replicated)
+    elif mesh is not None:
         replicated = NamedSharding(mesh, P())
         data_sharded = NamedSharding(mesh, P(DATA_AXIS))
         # single shardings act as pytree prefixes (whole state replicated, whole batch sharded)

@@ -327,10 +327,16 @@ def main(argv=None):
                       "config": vars(args), "name": args.name},
     )
 
-    mesh = create_mesh()
+    tp = max(args.tensor_parallel, 1)
     num_devices = len(jax.devices())
-    log.info("devices: %d x %s, hosts: %d", num_devices,
-             jax.devices()[0].device_kind, num_hosts)
+    if tp > 1:
+        from multimodal_tpu.parallel.tp import create_tp_mesh
+
+        mesh = create_tp_mesh(num_devices // tp, tp)
+    else:
+        mesh = create_mesh()
+    log.info("devices: %d x %s, hosts: %d, tensor-parallel: %d", num_devices,
+             jax.devices()[0].device_kind, num_hosts, tp)
 
     # ------------------------------------------------------------------ model
     dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
@@ -421,7 +427,14 @@ def main(argv=None):
             lambda m: not m, mask)))
 
     state = TrainState.create(params, tx)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state_shardings = None
+    if tp > 1:
+        from multimodal_tpu.parallel.tp import shard_state, tp_state_shardings
+
+        state_shardings = tp_state_shardings(state, mesh)
+        state = shard_state(state, mesh)
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
 
     # ---------------------------------------------------------------- resume
     ckpt = CheckpointManager(
@@ -433,7 +446,9 @@ def main(argv=None):
         step = None if args.resume == "latest" else int(args.resume)
         restored, meta = ckpt.restore(jax.device_get(state), step=step)
         if restored is not None:
-            state = jax.device_put(restored, replicated_sharding(mesh))
+            state = jax.device_put(
+                restored, state_shardings if state_shardings is not None
+                else replicated_sharding(mesh))
             start_epoch = (meta or {}).get("epoch", 0) + 1
             log.info("resumed from step %s (epoch %d)", ckpt.latest_step(), start_epoch)
         else:
@@ -467,7 +482,7 @@ def main(argv=None):
         return make_train_step(
             model, tx, loss_type=args.loss, loss_kwargs=kw, mesh=mesh,
             accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
-            donate=True,
+            donate=True, state_shardings=state_shardings,
         )
 
     # the step is compiled once; only KL annealing (a changed constant) forces a rebuild
