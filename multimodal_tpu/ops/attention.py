@@ -1,10 +1,13 @@
 """Multi-head attention compute paths.
 
-Two implementations behind one API:
-  * ``xla`` — einsum + f32 softmax; XLA fuses this well at CLIP's sequence lengths (77 text /
-    50-257 vision tokens) and it runs on any backend;
-  * ``flash`` — the Pallas MXU-tiled flash-attention kernel (multimodal_tpu/ops/flash_attention.py),
-    used automatically on TPU for shapes that tile cleanly.
+Three implementations behind one API, dispatched by measured performance on v5e:
+  * ``fused`` — whole-sequence Pallas kernel (ops/fused_attention.py) for CLIP-scale
+    self-attention (S <= 512): consumes the packed [B, S, H*D] layout directly (no head
+    relayout copies) and never materializes the S x S matrix in HBM; the default on TPU
+    for the encoder shapes;
+  * ``flash`` — the blocked online-softmax kernel (ops/flash_attention.py) for long causal
+    sequences (S >= 2048) where streaming is required;
+  * ``xla`` — einsum + f32 softmax; runs on any backend and handles arbitrary masks.
 
 Semantics mirror torch.nn.MultiheadAttention as used by the reference encoders
 (align_clip/transformer.py:193-290): scaled dot-product, optional additive causal mask, no
@@ -45,17 +48,35 @@ def attention(q, k, v, *, causal: bool = False, mask=None, impl: str = "auto"):
     q, k, v: [B, S, H, Dh]; mask: optional additive [B, H, Sq, Sk] (or broadcastable);
     returns [B, Sq, H, Dh] in v.dtype.
     """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
     if impl == "auto":
         impl = "xla"
-        if (
-            mask is None
-            and jax.devices()[0].platform == "tpu"
-            and not os.environ.get("MMTPU_DISABLE_FLASH")
-        ):
+        if mask is None and jax.devices()[0].platform == "tpu":
             from multimodal_tpu.ops.flash_attention import flash_supported
+            from multimodal_tpu.ops.fused_attention import fused_supported
 
-            if flash_supported(q.shape, k.shape, causal):
+            if (
+                sq == sk
+                and fused_supported(sk, d)
+                and not os.environ.get("MMTPU_DISABLE_FUSED_ATTN")
+            ):
+                impl = "fused"
+            elif flash_supported(q.shape, k.shape, causal) and not os.environ.get(
+                "MMTPU_DISABLE_FLASH"
+            ):
                 impl = "flash"
+    if impl == "fused":
+        from multimodal_tpu.ops.fused_attention import fused_attention
+
+        out = fused_attention(
+            q.reshape(b, sq, h * d),
+            k.reshape(b, sk, h * d),
+            v.reshape(b, sk, h * d),
+            heads=h,
+            causal=causal,
+        )
+        return out.reshape(b, sq, h, d)
     if impl == "flash":
         from multimodal_tpu.ops.flash_attention import flash_attention
 
