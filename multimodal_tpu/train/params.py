@@ -179,6 +179,10 @@ def parse_args(args=None):
                "imagenet-r", "cifar10", "cifar100", "flowers", "food", "stanford-cars",
                "coco-retrieval", "flickr-retrieval"]:
         g.add_argument(f"--{ds}", default=None, help=f"path to {ds} eval data")
+    g.add_argument("--linear-probe-train", default=None,
+                   help="folder-per-class train set for linear probing")
+    g.add_argument("--linear-probe-val", default=None)
+    g.add_argument("--linear-probe-epochs", type=int, default=100)
 
     # ------------------------------------------------------------ distributed
     g = parser.add_argument_group("distributed")

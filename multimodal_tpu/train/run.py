@@ -130,8 +130,13 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
         feats_t.append(np.asarray(ft))
     if not feats_i:
         return {}
-    metrics = get_clip_metrics(
-        np.concatenate(feats_i), np.concatenate(feats_t), float(jnp.exp(jnp.asarray(ls)))
+    fi, ft = np.concatenate(feats_i), np.concatenate(feats_t)
+    metrics = get_clip_metrics(fi, ft, float(jnp.exp(jnp.asarray(ls))))
+    # whole-val-set contrastive loss (train.py:300-325's cumulative val loss)
+    from multimodal_tpu.losses import clip_loss
+
+    metrics["val_loss"] = float(
+        clip_loss(jnp.asarray(fi), jnp.asarray(ft), jnp.asarray(ls), normalize=False)
     )
     metrics["epoch"] = epoch
     return metrics
@@ -234,6 +239,34 @@ def retrieval_eval_all(model, params, args) -> dict:
         results.update({f"{flag}-{k}": v for k, v in r.items()})
         log.info("retrieval %s: %s", flag, r)
     return results
+
+
+def linear_probe_eval(model, params, args) -> dict:
+    """Linear probing on frozen image features (main/linear_probing.py:20-114): embed a
+    folder-per-class train/val pair, fit the logistic head, report accuracy."""
+    if getattr(args, "variational", False) or not getattr(args, "linear_probe_train", None):
+        return {}
+    from multimodal_tpu.data.datasets import LabeledImageFolder
+    from multimodal_tpu.eval.linear_probe import linear_probe_metrics
+    from multimodal_tpu.inference import Embedder
+
+    emb = Embedder(model, params, batch_size=args.batch_size)
+
+    def featurize(root):
+        ds = LabeledImageFolder(root, batch_size=args.batch_size,
+                                image_size=model.cfg.vision.image_size)
+        feats, labels = [], []
+        for images, lab in ds:
+            feats.append(emb.embed_images(images))
+            labels.append(lab)
+        return np.concatenate(feats), np.concatenate(labels), len(ds.classes)
+
+    xtr, ytr, n_classes = featurize(args.linear_probe_train)
+    xte, yte, _ = featurize(args.linear_probe_val or args.linear_probe_train)
+    metrics = linear_probe_metrics(xtr, ytr, xte, yte, n_classes,
+                                   epochs=args.linear_probe_epochs)
+    log.info("linear probe: %s", metrics)
+    return metrics
 
 
 def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_devices,
@@ -470,6 +503,7 @@ def main(argv=None):
             record.update(evaluate(model, state.params, data_val, mesh, 0, args))
         record.update(zero_shot_eval_all(model, state.params, args, mesh))
         record.update(retrieval_eval_all(model, state.params, args))
+        record.update(linear_probe_eval(model, state.params, args))
         log.info("eval-only: %s", record)
         exp_logger.log(record)
         return 0

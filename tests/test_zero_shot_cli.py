@@ -50,3 +50,16 @@ def test_cli_eval_only_zero_shot(eval_dir, tmp_path):
     assert 0.0 <= rec["cifar10-zeroshot-top1"] <= 1.0
     # 3 classes, random model: top-1 should be near chance but top5 (clamped to 3) == 1
     assert rec["cifar10-zeroshot-top5"] == 1.0
+
+
+def test_cli_linear_probe(eval_dir, tmp_path):
+    rc = main([
+        "--dataset-type", "synthetic", "--model", "tiny-test", "--batch-size", "6",
+        "--epochs", "0", "--logs", str(tmp_path), "--name", "lp",
+        "--linear-probe-train", eval_dir, "--linear-probe-epochs", "10",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "lp" / "results.jsonl")]
+    rec = records[-1]
+    assert 0.0 <= rec["linear_probe_accuracy"] <= 1.0
+    assert "linear_probe_mean_per_class" in rec
