@@ -155,12 +155,23 @@ def tokenize(
     context_length: int = CONTEXT_LENGTH,
     tokenizer: SimpleTokenizer | None = None,
     num_threads: int = 8,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Batch tokenize to ``[N, context_length]`` int32 with SOT/EOT + truncate-keep-EOT,
     matching reference tokenizer.py:159-188 (zero-padded, over-long sequences truncated with
-    the final slot forced to EOT)."""
+    the final slot forced to EOT).
+
+    Pure-ASCII batches take the native C++ BPE (bit-identical, ~25x faster,
+    native/bpe_tokenizer.cc); anything needing Unicode normalization or HTML unescaping
+    (or a custom vocab) runs the Python path."""
     if isinstance(texts, str):
         texts = [texts]
+    if use_native and tokenizer is None and not os.environ.get("MMTPU_DISABLE_NATIVE_BPE"):
+        from multimodal_tpu.native.bindings import bpe_encode_batch
+
+        out = bpe_encode_batch(list(texts), DEFAULT_BPE_PATH, context_length)
+        if out is not None:
+            return out
     tok = tokenizer or default_tokenizer()
 
     def encode_one(text):

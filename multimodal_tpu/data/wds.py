@@ -182,6 +182,12 @@ class WdsReader:
         self.epoch = epoch
         self.sampler.set_epoch(epoch)
 
+    @property
+    def num_batches(self):
+        """Unknown for streamed shards (the tar carries no index); callers needing an epoch
+        length pass --train-num-samples / --steps-per-epoch (data.py:505-517 semantics)."""
+        return None
+
     def _raw_samples(self, rng) -> Iterator[tuple[bytes, str]]:
         buf: list[tuple[bytes, str]] = []
         for shard in self.sampler:

@@ -137,3 +137,59 @@ def tar_index(path: str) -> list[tuple[str, int, int]]:
         name, off, size = line.rsplit("\t", 2)
         entries.append((name, int(off), int(size)))
     return entries
+
+
+# ---------------------------------------------------------------------------
+# native BPE tokenizer
+# ---------------------------------------------------------------------------
+
+_bpe_handle = None
+_bpe_lock = threading.Lock()
+
+
+def _bpe(vocab_path: str):
+    global _bpe_handle
+    lib = _load()
+    if lib is None:
+        return None
+    with _bpe_lock:
+        if _bpe_handle is None:
+            if not hasattr(lib, "mm_bpe_create"):
+                return None
+            lib.mm_bpe_create.restype = ctypes.c_void_p
+            lib.mm_bpe_create.argtypes = [ctypes.c_char_p]
+            lib.mm_bpe_encode_batch.restype = ctypes.c_int
+            lib.mm_bpe_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ]
+            lib.mm_bpe_fast_eligible.restype = ctypes.c_int
+            lib.mm_bpe_fast_eligible.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            _bpe_handle = lib.mm_bpe_create(vocab_path.encode())
+        return _bpe_handle
+
+
+def bpe_encode_batch(texts, vocab_path: str, context_length: int = 77):
+    """Native fast-path batch tokenize -> int32 [N, ctx], or None when any caption needs
+    the Python tokenizer (non-ASCII / HTML entities) or the library is unavailable."""
+    handle = _bpe(vocab_path)
+    if not handle:
+        return None
+    lib = _load()
+    try:
+        encoded = [t.encode("ascii") for t in texts]
+    except UnicodeEncodeError:
+        return None
+    starts = np.zeros(len(texts) + 1, np.int64)
+    acc = 0
+    for i, b in enumerate(encoded):
+        starts[i] = acc
+        acc += len(b)
+    starts[len(texts)] = acc
+    blob = b"".join(encoded)
+    out = np.zeros((len(texts), context_length), np.int32)
+    rc = lib.mm_bpe_encode_batch(
+        handle, blob, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), context_length, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None

@@ -439,7 +439,12 @@ def main(argv=None):
         )
         data_val = DataInfo(val_src, sharding=data_sharding(mesh))
 
-    steps_per_epoch = args.steps_per_epoch or train_src.num_batches or 1000
+    steps_per_epoch = (
+        args.steps_per_epoch
+        or (args.train_num_samples // args.batch_size if args.train_num_samples else None)
+        or getattr(train_src, "num_batches", None)
+        or 1000
+    )
     total_steps = steps_per_epoch * args.epochs
 
     # -------------------------------------------------------------- optimizer

@@ -66,3 +66,39 @@ add_model_config(
                      "heads": 2},
     },
 )
+
+
+def test_cli_trains_on_webdataset(tmp_path):
+    """The full CLI path over tar shards (this crashed once on a missing num_batches)."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from PIL import Image
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for s in range(2):
+        with tarfile.open(shard_dir / f"t-{s:02d}.tar", "w") as tar:
+            for i in range(24):
+                arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+                b = io.BytesIO()
+                Image.fromarray(arr).save(b, "JPEG", quality=90)
+                for ext, payload in [("jpg", b.getvalue()),
+                                     ("txt", f"caption {s} {i}".encode())]:
+                    info = tarfile.TarInfo(f"{s:02d}{i:04d}.{ext}")
+                    info.size = len(payload)
+                    tar.addfile(info, io.BytesIO(payload))
+
+    from multimodal_tpu.train.run import main
+
+    rc = main([
+        "--train-data", str(shard_dir / "t-{00..01}.tar"), "--dataset-type", "webdataset",
+        "--model", "tiny-fullvocab-r", "--batch-size", "16", "--epochs", "1",
+        "--warmup", "2", "--lr", "1e-3", "--logs", str(tmp_path), "--name", "w",
+        "--log-every-n-steps", "1", "--train-num-samples", "48",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "w" / "results.jsonl")]
+    assert records and np.isfinite(records[-1]["loss"])

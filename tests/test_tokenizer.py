@@ -98,3 +98,40 @@ def test_batch_threading_consistent(tok):
     batched = tokenize(texts, tokenizer=tok)
     single = np.stack([tokenize([t], tokenizer=tok)[0] for t in texts])
     np.testing.assert_array_equal(batched, single)
+
+
+# ---------------------------------------------------------------------------
+# native C++ BPE fast path
+# ---------------------------------------------------------------------------
+
+
+def test_native_bpe_bit_exact_with_python(tok):
+    from multimodal_tpu.data.tokenizer import DEFAULT_BPE_PATH
+    from multimodal_tpu.native.bindings import bpe_encode_batch
+
+    ascii_cases = [c for c in CASES if all(ord(ch) < 128 for ch in c) and "&" not in c]
+    extra = ["!!!'s odd apostrophes ''s", "we'll they're you've i'm i'd don't",
+             "x" * 500, "a.b,c;d:e!f?g", "'llamas 'd 're"]
+    cases = ascii_cases + extra
+    nat = bpe_encode_batch(cases, DEFAULT_BPE_PATH)
+    assert nat is not None
+    py = tokenize(cases, use_native=False)
+    np.testing.assert_array_equal(nat, py)
+
+
+def test_native_bpe_fallback_gating():
+    from multimodal_tpu.data.tokenizer import DEFAULT_BPE_PATH
+    from multimodal_tpu.native.bindings import bpe_encode_batch
+
+    assert bpe_encode_batch(["café au lait"], DEFAULT_BPE_PATH) is None  # non-ASCII
+    assert bpe_encode_batch(["a &amp; b"], DEFAULT_BPE_PATH) is None  # HTML entity
+    # the public tokenize() transparently falls back and still matches pure python
+    mixed = ["plain ascii caption", "café au lait", "a &amp; b"]
+    np.testing.assert_array_equal(tokenize(mixed), tokenize(mixed, use_native=False))
+
+
+def test_tokenize_default_uses_native_when_eligible():
+    got = tokenize(["a photo of a cat"])
+    want = tokenize(["a photo of a cat"], use_native=False)
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 0] == 49406 and 49407 in got[0]
