@@ -138,6 +138,17 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
     metrics["val_loss"] = float(
         clip_loss(jnp.asarray(fi), jnp.asarray(ft), jnp.asarray(ls), normalize=False)
     )
+    # representation-quality probes (metrics.ipynb cells 25-26): k-NN-angle uniformity and
+    # the image-vs-text linear-separability modality-gap measure
+    if len(fi) >= 16:
+        from multimodal_tpu.eval.entropy import average_kth_neighbor_angle
+        from multimodal_tpu.eval.separability import linear_separability
+
+        metrics["knn_angle_image"] = float(average_kth_neighbor_angle(fi))
+        metrics["knn_angle_text"] = float(average_kth_neighbor_angle(ft))
+        metrics["modality_separability"] = float(
+            linear_separability(fi, ft, epochs=200)
+        )
     metrics["epoch"] = epoch
     return metrics
 

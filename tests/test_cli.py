@@ -77,3 +77,7 @@ def test_evaluate_clip_metrics():
 
     metrics = evaluate(model, params, DataInfo(src), None, epoch=0, args=Args())
     assert "image_to_text_R@1" in metrics and "text_to_image_mean_rank" in metrics
+    assert np.isfinite(metrics["val_loss"])
+    # uniformity + modality-gap probes (metrics.ipynb cells 25-26)
+    assert 0.0 < metrics["knn_angle_image"] < 180.0
+    assert 0.0 <= metrics["modality_separability"] <= 1.0
