@@ -14,21 +14,31 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None,
+                 async_save: bool = False):
+        """async_save=True overlaps checkpoint writes with the next training steps (Orbax
+        async checkpointing) — the TPU never waits for disk; save() returns immediately and
+        close()/wait() joins the writer."""
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
+        self._async = async_save
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None):
         composite = {"state": ocp.args.StandardSave(state)}
         if metadata is not None:
             composite["metadata"] = ocp.args.JsonSave(metadata)
         self._mgr.save(step, args=ocp.args.Composite(**composite))
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

@@ -155,6 +155,8 @@ def parse_args(args=None):
     g.add_argument("--save-most-recent", action="store_true", default=True)
     g.add_argument("--delete-previous-checkpoint", action="store_true",
                    help="keep only the newest checkpoint (run.py:438-441)")
+    g.add_argument("--async-checkpointing", action="store_true",
+                   help="overlap Orbax checkpoint writes with training (no TPU stall)")
     g.add_argument("--remote-sync", default=None,
                    help="rsync/fsspec target directory for background checkpoint sync")
     g.add_argument("--remote-sync-frequency", type=int, default=300)

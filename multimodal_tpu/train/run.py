@@ -489,6 +489,7 @@ def main(argv=None):
     ckpt = CheckpointManager(
         os.path.join(args.log_dir, "checkpoints"),
         max_to_keep=1 if args.delete_previous_checkpoint else None,
+        async_save=args.async_checkpointing,
     )
     start_epoch = 0
     if args.resume:
@@ -568,6 +569,7 @@ def main(argv=None):
                       metadata={"epoch": epoch, "name": args.name})
             log.info("saved checkpoint at step %d", int(jax.device_get(state.step)))
 
+    ckpt.wait()
     ckpt.close()
     if sync_stop is not None:
         sync_stop.set()
