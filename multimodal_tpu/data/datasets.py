@@ -267,3 +267,29 @@ class LabeledImageFolder:
                 arr, labels = arr[ok], labels[ok]
             if len(labels):
                 yield arr, labels
+
+
+def flickr_items(root: str) -> list[tuple[str, str]]:
+    """Flickr30K layout: root/flickr30k-images/*.jpg + root/results_20130124.token
+    ('image.jpg#N<TAB>caption' per line — the standard karpathy-style token file used by
+    the reference's Flickr retrieval set, main/data.py:673-708)."""
+    token_path = None
+    for cand in ("results_20130124.token", "results.token", "captions.token"):
+        p = os.path.join(root, cand)
+        if os.path.exists(p):
+            token_path = p
+            break
+    if token_path is None:
+        raise FileNotFoundError(f"no Flickr token file under {root}")
+    img_dir = os.path.join(root, "flickr30k-images")
+    if not os.path.isdir(img_dir):
+        img_dir = root
+    items = []
+    with open(token_path, encoding="utf-8") as f:
+        for line in f:
+            if "\t" not in line:
+                continue
+            key, caption = line.rstrip("\n").split("\t", 1)
+            fname = key.split("#", 1)[0]
+            items.append((os.path.join(img_dir, fname), caption))
+    return items

@@ -220,18 +220,22 @@ def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
 def retrieval_eval_all(model, params, args) -> dict:
     """COCO/Flickr cross-modal retrieval (main/retrieval.py:7-102): encode every image and
     all its captions (COCO ships ~5 per image), dense text@image.T, R@{1,5,10} both ways."""
-    from multimodal_tpu.data.datasets import coco_captions
+    from multimodal_tpu.data.datasets import coco_captions, flickr_items
     from multimodal_tpu.eval.retrieval import recall_at_k
     from multimodal_tpu.inference import Embedder
 
     if getattr(args, "variational", False):
         return {}
     results = {}
-    for flag, loader in [("coco_retrieval", coco_captions)]:
+    loaders = [
+        ("coco_retrieval", lambda root: coco_captions(root, split="val")),
+        ("flickr_retrieval", flickr_items),
+    ]
+    for flag, loader in loaders:
         root = getattr(args, flag, None)
         if not root:
             continue
-        items = loader(root, split="val")
+        items = loader(root)
         # group captions by image path (retrieval.py:7-52's index maps)
         by_image: dict = {}
         for path, caption in items:

@@ -102,3 +102,35 @@ def test_cli_trains_on_webdataset(tmp_path):
     assert rc == 0
     records = [json.loads(l) for l in open(tmp_path / "w" / "results.jsonl")]
     assert records and np.isfinite(records[-1]["loss"])
+
+
+def test_cli_flickr_retrieval(tmp_path):
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "flickr"
+    (root / "flickr30k-images").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(4):
+        fn = f"img{i}.jpg"
+        arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "flickr30k-images" / fn, quality=90)
+        for j in range(2):
+            lines.append(f"{fn}#{j}\tcaption {i} variant {j}")
+    (root / "results_20130124.token").write_text("\n".join(lines))
+
+    from multimodal_tpu.train.run import main
+
+    rc = main([
+        "--dataset-type", "synthetic", "--model", "tiny-fullvocab-r", "--batch-size", "4",
+        "--epochs", "0", "--logs", str(tmp_path), "--name", "fl",
+        "--flickr-retrieval", str(root),
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "fl" / "results.jsonl")]
+    rec = records[-1]
+    assert "flickr_retrieval-text_to_image_R@1" in rec
+    assert rec["flickr_retrieval-text_to_image_R@5"] == 1.0  # only 4 image candidates
