@@ -73,7 +73,9 @@ def _find_grad_norm(state_tree):
 
 def extract_grad_norm(opt_state):
     """Pre-clip gradient norm of the last step, free of charge (no extra pass). Returns
-    None when the optimizer was built without clip_and_skip_by_global_norm."""
+    None when the optimizer carries no norm state."""
+    if isinstance(opt_state, FusedAdamWState):
+        return opt_state.grad_norm
     if isinstance(opt_state, SkipIfNonfiniteState):
         opt_state = opt_state.inner_state
     return _find_grad_norm(opt_state)
@@ -130,6 +132,97 @@ def wd_mask(params):
     return jax.tree_util.tree_map_with_path(is_decayed, params)
 
 
+class FusedAdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+    grad_norm: jnp.ndarray
+    notfinite_count: jnp.ndarray
+
+
+def fused_adamw(
+    schedule,
+    *,
+    weight_decay: float = 0.2,
+    beta1: float = 0.9,
+    beta2: float = 0.98,
+    eps: float = 1e-6,
+    grad_clip_norm: Optional[float] = None,
+    skip_nonfinite: bool = True,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip + exact non-finite skip + weight-decay masking in ONE pass
+    per parameter leaf.
+
+    One tree pass builds the whole update expression per leaf (clip scale, moment updates,
+    bias correction, masked weight decay, skip selects) with a single flat NamedTuple state.
+    Measured perf-neutral vs the modular optax chain on v5e (XLA fuses the chain's stage
+    boundaries too) — kept as the default for the simpler state layout, the free grad_norm/
+    skip counters, and exact-parity tests against the optax reference
+    (tests/test_fused_optimizer.py)."""
+
+    def init(params):
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            grad_norm=jnp.zeros((), jnp.float32),
+            notfinite_count=jnp.zeros((), jnp.int32),
+        )
+
+    def update(grads, state, params=None):
+        assert params is not None, "fused_adamw needs params (weight decay)"
+        sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(grads)
+        )
+        norm = jnp.sqrt(sq)
+        scale = jnp.ones((), jnp.float32)
+        if grad_clip_norm is not None:
+            scale = jnp.minimum(1.0, grad_clip_norm / jnp.maximum(norm, 1e-12))
+        finite = jnp.isfinite(norm)
+        if skip_nonfinite:
+            scale = jnp.where(finite, scale, 0.0)  # zeroed grads on the bad step
+
+        count = state.count + jnp.where(finite, 1, 0) if skip_nonfinite else state.count + 1
+        # LR uses the pre-increment step (optax scale_by_schedule starts at schedule(0));
+        # bias correction uses the post-increment count (optax scale_by_adam's count_inc)
+        lr = schedule(state.count) if callable(schedule) else schedule
+        c1 = 1.0 - beta1 ** count.astype(jnp.float32)
+        c2 = 1.0 - beta2 ** count.astype(jnp.float32)
+        decay_mask = wd_mask(params)
+
+        def leaf(g, mu, nu, p, decayed):
+            g = g.astype(jnp.float32) * scale
+            mu_new = beta1 * mu + (1.0 - beta1) * g
+            nu_new = beta2 * nu + (1.0 - beta2) * jnp.square(g)
+            upd = (mu_new / c1) / (jnp.sqrt(nu_new / c2) + eps)
+            if decayed:
+                upd = upd + weight_decay * p.astype(jnp.float32)
+            upd = -lr * upd
+            if skip_nonfinite:
+                # exact skip: moments frozen, update zeroed on the bad step
+                mu_new = jnp.where(finite, mu_new, mu)
+                nu_new = jnp.where(finite, nu_new, nu)
+                upd = jnp.where(finite, upd, jnp.zeros_like(upd))
+            return mu_new, nu_new, upd.astype(p.dtype)
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        flat_mask = treedef.flatten_up_to(decay_mask)
+        out = [leaf(g, m, n, p, d)
+               for g, m, n, p, d in zip(flat_g, flat_mu, flat_nu, flat_p, flat_mask)]
+        mu_new = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+        nu_new = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+        updates = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        notfinite = jnp.where(finite, 0, state.notfinite_count + 1) if skip_nonfinite \
+            else state.notfinite_count
+        return updates, FusedAdamWState(count, mu_new, nu_new, norm, notfinite)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     schedule,
     weight_decay: float = 0.2,
@@ -139,7 +232,16 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = None,
     skip_nonfinite: bool = True,
     max_consecutive_nonfinite: int = 100,
+    fused: bool = True,
 ):
+    """Default: the single-pass fused AdamW (see fused_adamw). fused=False builds the
+    modular optax chain with identical semantics — kept for composition with other optax
+    transforms and as the numerical reference the fused path is tested against."""
+    if fused:
+        return fused_adamw(
+            schedule, weight_decay=weight_decay, beta1=beta1, beta2=beta2, eps=eps,
+            grad_clip_norm=grad_clip_norm, skip_nonfinite=skip_nonfinite,
+        )
     tx = optax.chain(
         # one pass computes the global norm, clips, and zeroes non-finite updates; the norm
         # is exposed via extract_grad_norm so the train step reports it without recomputing

@@ -1,0 +1,80 @@
+"""Fused AdamW must be numerically identical to the modular optax chain it replaces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_tpu.train.optimizer import extract_grad_norm, make_optimizer
+from multimodal_tpu.train.schedules import make_schedule
+
+
+def _params(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "dense": {"kernel": jax.random.normal(k1, (16, 32)), "bias": jnp.zeros(32)},
+        "logit_scale": jnp.asarray(2.6),
+        "emb": jax.random.normal(k3, (64, 16)) * 0.1,
+    }
+
+
+def _grads(key, params):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) for k, l in zip(keys, leaves)]
+    )
+
+
+@pytest.mark.parametrize("clip", [None, 0.5])
+def test_fused_matches_optax_chain(clip):
+    sched = make_schedule("cosine", 1e-3, warmup_steps=3, total_steps=50)
+    kw = dict(weight_decay=0.1, beta1=0.9, beta2=0.98, eps=1e-6,
+              grad_clip_norm=clip, skip_nonfinite=True)
+    tx_f = make_optimizer(sched, fused=True, **kw)
+    tx_m = make_optimizer(sched, fused=False, **kw)
+
+    params_f = _params(jax.random.PRNGKey(0))
+    params_m = jax.tree_util.tree_map(jnp.copy, params_f)
+    s_f, s_m = tx_f.init(params_f), tx_m.init(params_m)
+
+    import optax
+
+    key = jax.random.PRNGKey(1)
+    for step in range(6):
+        key, sub = jax.random.split(key)
+        g = _grads(sub, params_f)
+        if step == 3:  # a poisoned step must be skipped identically
+            g = jax.tree_util.tree_map(lambda x: x * jnp.nan, g)
+        u_f, s_f = tx_f.update(g, s_f, params_f)
+        u_m, s_m = tx_m.update(g, s_m, params_m)
+        params_f = optax.apply_updates(params_f, u_f)
+        params_m = optax.apply_updates(params_m, u_m)
+        for a, b in zip(jax.tree_util.tree_leaves(params_f),
+                        jax.tree_util.tree_leaves(params_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+    # both report the same (non-finite on the poisoned step was visible; final is finite)
+    nf = float(extract_grad_norm(s_f))
+    nm = float(extract_grad_norm(s_m))
+    np.testing.assert_allclose(nf, nm, rtol=1e-6)
+
+
+def test_fused_skip_freezes_state():
+    tx = make_optimizer(make_schedule("const", 1e-3, 0, 10), fused=True,
+                        weight_decay=0.0, grad_clip_norm=1.0)
+    params = _params(jax.random.PRNGKey(2))
+    state = tx.init(params)
+    g = _grads(jax.random.PRNGKey(3), params)
+    u, state = tx.update(g, state, params)
+    mu_before = jax.tree_util.tree_leaves(state.mu)[0].copy()
+    count_before = int(state.count)
+
+    bad = jax.tree_util.tree_map(lambda x: x * jnp.inf, g)
+    u2, state2 = tx.update(bad, state, params)
+    assert all(float(jnp.abs(x).sum()) == 0 for x in jax.tree_util.tree_leaves(u2))
+    np.testing.assert_array_equal(np.asarray(jax.tree_util.tree_leaves(state2.mu)[0]),
+                                  np.asarray(mu_before))
+    assert int(state2.count) == count_before
+    assert int(state2.notfinite_count) == 1
+    assert not np.isfinite(float(state2.grad_norm))
