@@ -120,8 +120,15 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
 
     @jax.jit
     def encode(params, batch):
-        out = model.apply(params, batch_images(batch), batch["text"], normalize=True)
-        return out["image_features"], out["text_features"], out["logit_scale"]
+        out = model.apply(params, batch_images(batch), batch["text"])
+        if "image_features" in out:
+            fi, ft = out["image_features"], out["text_features"]
+        else:  # variational heads: normalized means as point estimates
+            # (metrics-vclip.ipynb's power_spherical_mean usage)
+            fi, ft = out["image_mean"], out["text_mean"]
+        fi = fi / jnp.linalg.norm(fi, axis=-1, keepdims=True)
+        ft = ft / jnp.linalg.norm(ft, axis=-1, keepdims=True)
+        return fi, ft, out["logit_scale"]
 
     feats_i, feats_t, ls = [], [], 1.0
     for batch in data_val:

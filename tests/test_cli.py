@@ -81,3 +81,23 @@ def test_evaluate_clip_metrics():
     # uniformity + modality-gap probes (metrics.ipynb cells 25-26)
     assert 0.0 < metrics["knn_angle_image"] < 180.0
     assert 0.0 <= metrics["modality_separability"] <= 1.0
+
+
+def test_evaluate_variational_uses_means():
+    import jax.numpy as jnp
+
+    from multimodal_tpu.data import DataInfo, SyntheticBatches
+    from multimodal_tpu.models import create_model, init_params
+
+    model = create_model("tiny-test", variational=True)
+    params = init_params(model)
+    src = SyntheticBatches(batch_size=8, num_samples=16,
+                           image_size=model.cfg.vision.image_size,
+                           context_length=model.cfg.text.context_length,
+                           vocab_size=model.cfg.text.vocab_size)
+
+    class Args:
+        pass
+
+    metrics = evaluate(model, params, DataInfo(src), None, epoch=0, args=Args())
+    assert "image_to_text_R@1" in metrics and np.isfinite(metrics["val_loss"])
