@@ -15,7 +15,6 @@ log-and-continue error absorption (:276-279). TPU-first redesign:
 
 from __future__ import annotations
 
-import io
 import logging
 import tarfile
 from typing import Iterable, Iterator, Optional

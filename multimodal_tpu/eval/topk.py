@@ -6,7 +6,6 @@ the paired caption ranks in the top-k."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from multimodal_tpu.ops.sphere import l2_normalize
 

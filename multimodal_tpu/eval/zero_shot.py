@@ -6,7 +6,7 @@ templates, mean, renormalize — batched over classes), main/zero_shot.py:18-48 
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Iterable, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,6 @@ streaming pass accumulates as well).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ locally (the reference downloads gpt2 from the hub, clipCaptionModel.py:238).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

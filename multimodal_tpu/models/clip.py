@@ -17,10 +17,9 @@ TPU-first decisions:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from multimodal_tpu.models.config import CLIPConfig, VariationalConfig

@@ -9,8 +9,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Optional
-
 _CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 

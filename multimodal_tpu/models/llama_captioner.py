@@ -10,8 +10,6 @@ the transformers library but no hub access — pass ``model_path`` to a local sn
 from __future__ import annotations
 
 import logging
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ path matching, so per-chip optimizer memory shrinks with the model axis too.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,7 +17,7 @@ import collections
 import contextlib
 import glob
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

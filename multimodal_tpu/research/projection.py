@@ -8,8 +8,6 @@ UMAP is optional (not in the TPU image) and gated."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

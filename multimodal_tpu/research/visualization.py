@@ -9,7 +9,7 @@ image-text pair lines. All functions write a PNG and return the path; matplotlib
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

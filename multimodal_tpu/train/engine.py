@@ -20,7 +20,6 @@ notebook train loops (trainer.ipynb:cell 19), redesigned for XLA:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

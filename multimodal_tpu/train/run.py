@@ -9,7 +9,6 @@ exercises the whole loop with no data (run.py:276, data.py:582)."""
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import shutil
