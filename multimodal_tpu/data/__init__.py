@@ -1,9 +1,15 @@
-from multimodal_tpu.data.tokenizer import SimpleTokenizer, default_tokenizer, tokenize
+from multimodal_tpu.data.tokenizer import (
+    HFTokenizer,
+    SimpleTokenizer,
+    default_tokenizer,
+    tokenize,
+)
 from multimodal_tpu.data.preprocess import (
     OPENAI_DATASET_MEAN,
     OPENAI_DATASET_STD,
     eval_transform,
     normalize_images,
+    resize_max_size,
     train_transform,
 )
 from multimodal_tpu.data.synthetic import SyntheticBatches, SyntheticDataset

@@ -61,6 +61,21 @@ def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[top : top + size, left : left + size]
 
 
+def resize_max_size(img, max_size: int, fill: int = 0):
+    """Letterbox transform (align_clip/transform.py:29-53 ResizeMaxSize): scale so the longer
+    side equals ``max_size`` (bicubic), then center-pad to a ``max_size`` square with ``fill``.
+    Returns a PIL image; preserves aspect ratio instead of cropping."""
+    w, h = img.size
+    scale = max_size / float(max(w, h))
+    if scale == 1.0:
+        return img
+    new_w, new_h = round(w * scale), round(h * scale)
+    img = img.resize((new_w, new_h), Image.BICUBIC)
+    canvas = Image.new(img.mode, (max_size, max_size), fill)
+    canvas.paste(img, ((max_size - new_w) // 2, (max_size - new_h) // 2))
+    return canvas
+
+
 def eval_transform(img, image_size: int = IMAGE_SIZE, normalize: bool = True) -> np.ndarray:
     """Resize(shorter side, bicubic) -> CenterCrop -> RGB -> [0,1] -> normalize; HWC f32."""
     img = _to_rgb(_resize_shorter(img, image_size))

@@ -191,3 +191,30 @@ def tokenize(
             full[-1] = tok.eot_token_id
         out[row, : len(full)] = full
     return out
+
+
+class HFTokenizer:
+    """HuggingFace tokenizer wrapper (align_clip/tokenizer.py:191-214): same text cleaning
+    as the BPE path minus lowercasing, padded/truncated [N, context_length] int32 ids. Used
+    when a model config names an hf_tokenizer_name (factory.py:76-83)."""
+
+    def __init__(self, tokenizer_name: str):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+
+    def save_pretrained(self, dest: str):
+        self.tokenizer.save_pretrained(dest)
+
+    def __call__(self, texts, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = [_clean(t) for t in texts]
+        ids = self.tokenizer(
+            texts,
+            return_tensors="np",
+            max_length=context_length,
+            padding="max_length",
+            truncation=True,
+        ).input_ids
+        return ids.astype(np.int32)

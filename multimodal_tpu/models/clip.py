@@ -23,7 +23,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multimodal_tpu.models.config import CLIPConfig, VariationalConfig
-from multimodal_tpu.models.layers import LayerNorm, PatchDropout, Transformer
+from multimodal_tpu.models.layers import (
+    AttentionalPooler,
+    LayerNorm,
+    PatchDropout,
+    Transformer,
+)
 
 Dtype = Any
 
@@ -156,7 +161,17 @@ class CLIP(nn.Module):
         self.text_stem = TextStem(
             c.text.width, c.text.vocab_size, c.text.context_length, dtype=self.dtype
         )
+        if c.vision.attentional_pool:
+            self.attn_pool = AttentionalPooler(
+                c.vision.width,
+                n_head=c.vision.attn_pooler_heads,
+                n_queries=c.vision.n_queries,
+                dtype=self.dtype,
+                name="attn_pool",
+            )
         if c.share_trunk:
+            # ls_init_value must agree across modalities for a shared trunk (model.py:169)
+            assert c.vision.ls_init_value == c.text.ls_init_value
             self.trunk = Transformer(
                 c.vision.width,
                 c.vision.layers,
@@ -164,6 +179,9 @@ class CLIP(nn.Module):
                 c.vision.mlp_ratio,
                 dtype=self.dtype,
                 remat=c.remat,
+                ls_init_value=c.vision.ls_init_value,
+                scaled_cosine=c.vision.scaled_cosine,
+                scale_heads=c.vision.scale_heads,
                 name="transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -181,6 +199,9 @@ class CLIP(nn.Module):
                 c.vision.mlp_ratio,
                 dtype=self.dtype,
                 remat=c.remat,
+                ls_init_value=c.vision.ls_init_value,
+                scaled_cosine=c.vision.scaled_cosine,
+                scale_heads=c.vision.scale_heads,
                 name="visual_transformer",
             )
             self.text_trunk = Transformer(
@@ -191,6 +212,7 @@ class CLIP(nn.Module):
                 causal=True,
                 dtype=self.dtype,
                 remat=c.remat,
+                ls_init_value=c.text.ls_init_value,
                 name="text_transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -209,15 +231,24 @@ class CLIP(nn.Module):
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), ()
         )
 
+    def _pool_image(self, x):
+        """CLS (default), mean-pool, or attentional pooling (model.py:33-36,76-80)."""
+        if self.cfg.vision.attentional_pool:
+            x = self.attn_pool(x)
+            return x[:, 0]
+        if self.cfg.vision.global_average_pool:
+            return jnp.mean(x, axis=1)
+        return x[:, 0]
+
     def encode_image(self, images, normalize: bool = False, train: bool = False):
         x = self.visual_stem(images, train=train)
         if self.cfg.share_trunk:
             x = self.trunk(x)
-            pooled = self.ln_post(x[:, 0])
+            pooled = self.ln_post(self._pool_image(x))
             feats = pooled.astype(jnp.float32) @ self.projection
         else:
             x = self.visual_trunk(x)
-            pooled = self.ln_post(x[:, 0])
+            pooled = self.ln_post(self._pool_image(x))
             feats = pooled.astype(jnp.float32) @ self.visual_projection
         if normalize:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)

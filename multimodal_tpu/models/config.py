@@ -21,6 +21,13 @@ class VisionConfig:
     heads: int = 12
     mlp_ratio: float = 4.0
     patch_dropout: float = 0.0  # FLIP-style token drop at train time (transformer.py:51-88)
+    ls_init_value: float | None = None  # LayerScale init (model.py:30)
+    scaled_cosine: bool = False  # cosine-sim attention w/ per-head temp (transformer.py:119)
+    scale_heads: bool = False  # per-head learnable output scale (transformer.py:124)
+    global_average_pool: bool = False  # mean-pool tokens instead of CLS (model.py:33,76-80)
+    attentional_pool: bool = False  # learned-query pooling head (model.py:34, transformer.py:167)
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +38,7 @@ class TextConfig:
     layers: int = 12
     heads: int = 8
     mlp_ratio: float = 4.0
+    ls_init_value: float | None = None  # LayerScale init (model.py:47)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +77,13 @@ def _vision_from_json(d: dict) -> VisionConfig:
         heads=d.get("heads", d.get("width", 768) // 64),
         mlp_ratio=d.get("mlp_ratio", 4.0),
         patch_dropout=d.get("patch_dropout", 0.0),
+        ls_init_value=d.get("ls_init_value"),
+        scaled_cosine=d.get("scaled_cosine", False),
+        scale_heads=d.get("scale_heads", False),
+        global_average_pool=d.get("global_average_pool", False),
+        attentional_pool=d.get("attentional_pool", False),
+        n_queries=d.get("n_queries", 256),
+        attn_pooler_heads=d.get("attn_pooler_heads", 8),
     )
 
 
@@ -80,6 +95,7 @@ def _text_from_json(d: dict) -> TextConfig:
         layers=d.get("layers", 12),
         heads=d.get("heads", d.get("width", 512) // 64),
         mlp_ratio=d.get("mlp_ratio", 4.0),
+        ls_init_value=d.get("ls_init_value"),
     )
 
 

@@ -89,6 +89,56 @@ class PatchDropout(nn.Module):
         return jnp.concatenate([prefix, kept], axis=1)
 
 
+class LayerScale(nn.Module):
+    """Per-channel learnable residual-branch scale (align_clip/transformer.py:41-48),
+    init gamma = init_values. Enabled via ls_init_value in the model config."""
+
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_values), (dim,), jnp.float32
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class AttentionalPooler(nn.Module):
+    """Learned-query cross-attention pooling (align_clip/transformer.py:167-190):
+    n_queries learnable queries attend over the (LN'd) token sequence. Used by the vision
+    tower when cfg.vision.attentional_pool (model.py:34-36)."""
+
+    d_model: int
+    n_head: int = 8
+    n_queries: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        head_dim = self.d_model // self.n_head
+        query = self.param(
+            "query", nn.initializers.normal(1.0), (self.n_queries, self.d_model), jnp.float32
+        )
+        q_in = LayerNorm(name="ln_q")(
+            jnp.broadcast_to(query.astype(x.dtype), (b, self.n_queries, self.d_model))
+        )
+        kv_in = LayerNorm(name="ln_k")(x)
+        dense = lambda name, inp: nn.Dense(  # noqa: E731
+            self.d_model,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(stddev=self.d_model ** -0.5),
+            name=name,
+        )(inp)
+        q = dense("query_proj", q_in).reshape(b, self.n_queries, self.n_head, head_dim)
+        k = dense("key_proj", kv_in).reshape(b, x.shape[1], self.n_head, head_dim)
+        v = dense("value_proj", kv_in).reshape(b, x.shape[1], self.n_head, head_dim)
+        out = attention(q, k, v).reshape(b, self.n_queries, self.d_model)
+        return dense("out_proj", out)
+
+
 class MLP(nn.Module):
     width: int
     expansion: float = 4.0
@@ -118,11 +168,19 @@ class MLP(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
+    """Self-attention. ``scaled_cosine`` / ``scale_heads`` reproduce the reference's custom
+    Attention options (align_clip/transformer.py:91-164): cosine-similarity logits with a
+    per-head learnable temperature clamped at log(1/0.01), and a per-head learnable output
+    scale. Those variants route through the XLA path (they change the logits themselves)."""
+
     width: int
     heads: int
     causal: bool = False
     dtype: Dtype = jnp.float32
     depth: int = 12
+    scaled_cosine: bool = False
+    scale_heads: bool = False
+    logit_scale_max: float = 4.6052  # log(1/0.01), transformer.py:98
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -141,7 +199,30 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, s, self.heads, head_dim)
         k = k.reshape(b, s, self.heads, head_dim)
         v = v.reshape(b, s, self.heads, head_dim)
-        out = attention(q, k, v, causal=self.causal, mask=mask)
+        if self.scaled_cosine:
+            logit_scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(jnp.log(10.0)),
+                (self.heads,),
+                jnp.float32,
+            )
+            qn = q * jax.lax.rsqrt(
+                jnp.sum(jnp.square(q.astype(jnp.float32)), -1, keepdims=True) + 1e-12
+            ).astype(q.dtype)
+            kn = k * jax.lax.rsqrt(
+                jnp.sum(jnp.square(k.astype(jnp.float32)), -1, keepdims=True) + 1e-12
+            ).astype(k.dtype)
+            # fold exp(clamped per-head scale) into q; undo attention()'s 1/sqrt(D)
+            temp = jnp.exp(jnp.clip(logit_scale, None, self.logit_scale_max))
+            qn = qn * (temp * (head_dim ** 0.5)).astype(q.dtype)[None, None, :, None]
+            out = attention(qn, kn, v, causal=self.causal, mask=mask, impl="xla")
+        else:
+            out = attention(q, k, v, causal=self.causal, mask=mask)
+        if self.scale_heads:
+            head_scale = self.param(
+                "head_scale", nn.initializers.ones, (self.heads,), jnp.float32
+            )
+            out = out * head_scale.astype(out.dtype)[None, None, :, None]
         out = out.reshape(b, s, self.width)
         return nn.Dense(
             self.width,
@@ -164,25 +245,39 @@ class ResidualBlock(nn.Module):
     act: Callable = quick_gelu
     dtype: Dtype = jnp.float32
     depth: int = 12
+    ls_init_value: float | None = None  # LayerScale on both residual branches (:208,219)
+    scaled_cosine: bool = False
+    scale_heads: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
-        x = x + MultiHeadAttention(
-            self.width,
-            self.heads,
-            causal=self.causal,
-            dtype=self.dtype,
-            depth=self.depth,
-            name="attn",
-        )(LayerNorm(name="ln_1")(x), mask=mask)
-        x = x + MLP(
-            self.width,
-            self.mlp_ratio,
-            act=self.act,
-            dtype=self.dtype,
-            depth=self.depth,
-            name="mlp",
-        )(LayerNorm(name="ln_2")(x))
+        ls = (
+            (lambda name: LayerScale(self.ls_init_value, name=name))
+            if self.ls_init_value is not None
+            else (lambda name: (lambda y: y))
+        )
+        x = x + ls("ls_1")(
+            MultiHeadAttention(
+                self.width,
+                self.heads,
+                causal=self.causal,
+                dtype=self.dtype,
+                depth=self.depth,
+                scaled_cosine=self.scaled_cosine,
+                scale_heads=self.scale_heads,
+                name="attn",
+            )(LayerNorm(name="ln_1")(x), mask=mask)
+        )
+        x = x + ls("ls_2")(
+            MLP(
+                self.width,
+                self.mlp_ratio,
+                act=self.act,
+                dtype=self.dtype,
+                depth=self.depth,
+                name="mlp",
+            )(LayerNorm(name="ln_2")(x))
+        )
         return x
 
 
@@ -198,6 +293,9 @@ class Transformer(nn.Module):
     act: Callable = quick_gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
+    ls_init_value: float | None = None
+    scaled_cosine: bool = False
+    scale_heads: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -211,6 +309,9 @@ class Transformer(nn.Module):
                 act=self.act,
                 dtype=self.dtype,
                 depth=self.layers,
+                ls_init_value=self.ls_init_value,
+                scaled_cosine=self.scaled_cosine,
+                scale_heads=self.scale_heads,
                 name=f"resblock_{i}",
             )(x, mask)
         return x
