@@ -167,11 +167,31 @@ class MLP(nn.Module):
         )(x)
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias parameters with nn.Dense's tree layout (<name>/kernel, <name>/bias) —
+    lets one weight set drive either the composite XLA path or a fused Pallas kernel."""
+
+    features: int
+    stddev: float
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=self.stddev), (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention. ``scaled_cosine`` / ``scale_heads`` reproduce the reference's custom
     Attention options (align_clip/transformer.py:91-164): cosine-similarity logits with a
     per-head learnable temperature clamped at log(1/0.01), and a per-head learnable output
-    scale. Those variants route through the XLA path (they change the logits themselves)."""
+    scale. Those variants route through the XLA path (they change the logits themselves).
+
+    On TPU at short sequence lengths the default path is the whole-block Pallas kernel
+    (ops/block_attention.py) fusing QKV projections + attention + output projection."""
 
     width: int
     heads: int
@@ -184,18 +204,46 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
+        import os
+
         head_dim = self.width // self.heads
+        b, s = x.shape[:2]
         # separate q/k/v projections: a fused [W, 3W] Dense + split emits XLA layout copies
         # for every block (measured ~22% slower text-tower fwd on v5e)
-        proj = lambda name: nn.Dense(  # noqa: E731
-            self.width,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.normal(stddev=self.width ** -0.5),
-            name=name,
-        )(x)
-        q, k, v = proj("query"), proj("key"), proj("value")
-        b, s = x.shape[:2]
+        attn_std = self.width ** -0.5
+        out_std = (self.width ** -0.5) * ((2 * self.depth) ** -0.5)
+        wq, bq = _DenseParams(self.width, attn_std, name="query")(self.width)
+        wk, bk = _DenseParams(self.width, attn_std, name="key")(self.width)
+        wv, bv = _DenseParams(self.width, attn_std, name="value")(self.width)
+        wo, bo = _DenseParams(self.width, out_std, name="out")(self.width)
+
+        use_block_kernel = (
+            not self.scaled_cosine
+            and mask is None
+            and jax.devices()[0].platform == "tpu"
+            and not os.environ.get("MMTPU_DISABLE_BLOCK_ATTN")
+        )
+        if use_block_kernel:
+            from multimodal_tpu.ops.block_attention import (
+                block_attn_supported,
+                block_attention,
+            )
+
+            use_block_kernel = block_attn_supported(b, s, self.width, self.heads)
+        if use_block_kernel and not self.scale_heads:
+            cast = lambda a: a.astype(self.dtype)  # noqa: E731
+            return block_attention(
+                x,
+                cast(wq), cast(bq), cast(wk), cast(bk), cast(wv), cast(bv),
+                cast(wo), cast(bo),
+                heads=self.heads,
+                causal=self.causal,
+            )
+
+        proj = lambda w_, b_: (  # noqa: E731
+            x @ w_.astype(self.dtype) + b_.astype(self.dtype)
+        )
+        q, k, v = proj(wq, bq), proj(wk, bk), proj(wv, bv)
         q = q.reshape(b, s, self.heads, head_dim)
         k = k.reshape(b, s, self.heads, head_dim)
         v = v.reshape(b, s, self.heads, head_dim)
@@ -224,15 +272,7 @@ class MultiHeadAttention(nn.Module):
             )
             out = out * head_scale.astype(out.dtype)[None, None, :, None]
         out = out.reshape(b, s, self.width)
-        return nn.Dense(
-            self.width,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.normal(
-                stddev=(self.width ** -0.5) * ((2 * self.depth) ** -0.5)
-            ),
-            name="out",
-        )(out)
+        return out @ wo.astype(out.dtype) + bo.astype(out.dtype)
 
 
 class ResidualBlock(nn.Module):

@@ -1,0 +1,267 @@
+"""Whole-block attention for SHORT sequences (S <= 128), Pallas TPU.
+
+The CLIP encoder regime (vision S=50, text S=77 @ B=256) spends more time moving data than
+multiplying it: XLA's attention relayouts q/k/v to head-major ([B,S,W] copies), writes the
+f32 [B,H,S,S] probs to HBM in forward and reads them back in backward, and leaves the QKV/out
+projections as four separate matmuls with layout boundaries (measured ~1.1 ms/block of
+fwd+bwd overhead beyond the pure projection matmuls, segment probe on v5e).
+
+This kernel fuses the whole attention half of a residual block — QKV projections + per-image
+per-head softmax(QK^T)V + output projection — into ONE program per group of G images:
+
+  * the projection matmuls ([G*S, W] @ [W, W]) give each program MXU-sized work, which the
+    earlier whole-sequence kernel (fused_attention.py) lacked at short S (its per-(batch,
+    head-pair) programs were [64,128]-tiny — 3.1 ms vs XLA's 1.2 ms at S=50);
+  * q/k/v/probs/attention outputs never exist in HBM: no relayout copies, no S^2 traffic;
+  * backward recomputes q/k/v/probs in-VMEM (cheaper than saving: probs alone would be
+    30 MB/block), emits dx plus the per-token gradients dq/dk/dv and the pre-projection
+    attention output, and leaves the [W, G*S]@[G*S, W] weight-gradient reductions to XLA
+    where they are single efficient matmuls over the whole batch.
+
+Semantics match the XLA path (scaled dot-product over heads, optional causal mask) to bf16
+rounding; counterpart of the reference's nn.MultiheadAttention core
+(align_clip/transformer.py:193-248).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+MAX_BLOCK_SEQ = 128
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
+    head_dim = width // heads
+    return (
+        head_dim in (32, 64, 128)
+        and width % 128 == 0
+        and seq <= MAX_BLOCK_SEQ
+    )
+
+
+def _images_per_program(batch: int, fwd: bool) -> int:
+    # fwd fits G=8 in VMEM (weights + 2 blocks); bwd carries 5 output blocks -> G=4
+    for g in ((8, 4, 2, 1) if fwd else (4, 2, 1)):
+        if batch % g == 0:
+            return g
+    return 1
+
+
+def _causal_mask(s: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return col <= row
+
+
+def _proj(x, w_ref, b_ref):
+    """[R, W] @ [W, N] + b, f32 accumulation, result in x.dtype."""
+    y = jax.lax.dot_general(
+        x, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+
+def _stacked_probs(q, k, heads, head_dim, scale, causal):
+    """All heads' softmax probabilities as ONE [H*S, S] f32 array: tiny per-head logit dots
+    write into a stacked buffer so the 5-pass softmax runs vectorized once instead of H
+    times (the per-head [S,S] softmaxes were the kernel's hot spot at S=50)."""
+    s = q.shape[0]
+    rows = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        rows.append(jax.lax.dot_general(
+            q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    logits = jnp.concatenate(rows, axis=0) * scale  # [H*S, S]
+    if causal:
+        # stacked causal mask built directly at [H*S, S] (tiling a bool vector is not a
+        # legal vreg cast in Mosaic)
+        row = jax.lax.broadcasted_iota(jnp.int32, (heads * s, s), 0) % s
+        col = jax.lax.broadcasted_iota(jnp.int32, (heads * s, s), 1)
+        logits = jnp.where(col <= row, logits, NEG_INF)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _attend(q, k, v, heads, head_dim, scale, causal):
+    """Per-image attention on [S, W]-packed heads; returns [S, W] pre-projection output."""
+    s = q.shape[0]
+    p = _stacked_probs(q, k, heads, head_dim, scale, causal)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        outs.append(jnp.dot(
+            p[h * s : (h + 1) * s], v[:, sl].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, head_dim,
+                scale, causal):
+    for g in range(g_imgs):
+        x = x_ref[g]  # [S, W]
+        q = _proj(x, wq, bq)
+        k = _proj(x, wk, bk)
+        v = _proj(x, wv, bv)
+        attn = _attend(q, k, v, heads, head_dim, scale, causal).astype(x.dtype)
+        y_ref[g] = _proj(attn, wo, bo)
+
+
+def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
+                dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, *, g_imgs, heads, head_dim,
+                scale, causal):
+    s = x_ref.shape[1]
+    for g in range(g_imgs):
+        x = x_ref[g]
+        dy = dy_ref[g]
+        q = _proj(x, wq, bq)
+        k = _proj(x, wk, bk)
+        v = _proj(x, wv, bv)
+        # do = dy @ Wo^T  (contract dy's W with wo's output dim)
+        do = jax.lax.dot_general(
+            dy.astype(jnp.float32), wo[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        p = _stacked_probs(q, k, heads, head_dim, scale, causal)  # [H*S, S]
+        attn_parts, dv_parts, dp_rows = [], [], []
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            ph = p[h * s : (h + 1) * s]
+            vh = v[:, sl].astype(jnp.float32)
+            doh = do[:, sl]
+            attn_parts.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
+            # dv = P^T dO ; dP = dO V^T
+            dv_parts.append(jax.lax.dot_general(
+                ph, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+            dp_rows.append(jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+        dp = jnp.concatenate(dp_rows, axis=0)  # [H*S, S]
+        # dS = P*(dP - rowsum(dP*P)) — one vectorized pass across all heads
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        dq_parts, dk_parts = [], []
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            dsh = ds[h * s : (h + 1) * s]
+            dq_parts.append(jnp.dot(
+                dsh, k[:, sl].astype(jnp.float32), preferred_element_type=jnp.float32) * scale)
+            dk_parts.append(jax.lax.dot_general(
+                dsh, q[:, sl].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        dq = jnp.concatenate(dq_parts, axis=1)
+        dk = jnp.concatenate(dk_parts, axis=1)
+        dv = jnp.concatenate(dv_parts, axis=1)
+        attnpre_ref[g] = jnp.concatenate(attn_parts, axis=1).astype(x.dtype)
+        dq_ref[g] = dq.astype(x.dtype)
+        dk_ref[g] = dk.astype(x.dtype)
+        dv_ref[g] = dv.astype(x.dtype)
+        # dx = dq Wq^T + dk Wk^T + dv Wv^T  (weights resident in VMEM)
+        dx = jax.lax.dot_general(
+            dq, wq[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(
+            dk, wk[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(
+            dv, wv[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[g] = dx.astype(x.dtype)
+
+
+def _weight_specs(width: int):
+    wspec = pl.BlockSpec((width, width), lambda i: (0, 0))
+    bspec = pl.BlockSpec((width,), lambda i: (0,))
+    return [wspec, bspec] * 4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
+    b, s, w = x.shape
+    g_imgs = _images_per_program(b, fwd=True)
+    head_dim = w // heads
+    xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
+    kern = functools.partial(
+        _fwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
+        scale=head_dim ** -0.5, causal=causal,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // g_imgs,),
+        in_specs=[xspec] + _weight_specs(w),
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(x, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _block_attention_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
+    out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _block_attention_bwd(heads, causal, residuals, dy):
+    x, wq, bq, wk, bk, wv, bv, wo, bo = residuals
+    b, s, w = x.shape
+    g_imgs = _images_per_program(b, fwd=False)
+    head_dim = w // heads
+    xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
+    kern = functools.partial(
+        _bwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
+        scale=head_dim ** -0.5, causal=causal,
+    )
+    shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
+    dx, dq, dk, dv, attnpre = pl.pallas_call(
+        kern,
+        grid=(b // g_imgs,),
+        in_specs=[xspec, xspec] + _weight_specs(w),
+        out_specs=[xspec] * 5,
+        out_shape=[shape] * 5,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(x, dy, wq, bq, wk, bk, wv, bv, wo, bo)
+
+    # weight/bias grads: single whole-batch reductions — efficient as plain XLA matmuls
+    x2 = x.reshape(-1, w)
+    f32 = jnp.float32
+
+    def wgrad(dz):
+        return jax.lax.dot_general(
+            x2, dz.reshape(-1, w), (((0,), (0,)), ((), ())), preferred_element_type=f32
+        ).astype(wq.dtype)
+
+    dwq, dwk, dwv = wgrad(dq), wgrad(dk), wgrad(dv)
+    dwo = jax.lax.dot_general(
+        attnpre.reshape(-1, w), dy.reshape(-1, w), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(wo.dtype)
+    dbq = jnp.sum(dq.astype(f32), axis=(0, 1)).astype(bq.dtype)
+    dbk = jnp.sum(dk.astype(f32), axis=(0, 1)).astype(bk.dtype)
+    dbv = jnp.sum(dv.astype(f32), axis=(0, 1)).astype(bv.dtype)
+    dbo = jnp.sum(dy.astype(f32), axis=(0, 1)).astype(bo.dtype)
+    return dx, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo
+
+
+_block_attention.defvjp(_block_attention_fwd, _block_attention_bwd)
+
+
+def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False):
+    """Fused QKV-projection + multi-head attention + output projection.
+
+    x: [B, S, W] (post-LN residual-branch input); weights [W, W], biases [W].
+    Returns [B, S, W] in x.dtype (the pre-residual attention-branch output)."""
+    return _block_attention(
+        x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal
+    )

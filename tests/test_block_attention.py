@@ -1,0 +1,98 @@
+"""Parity tests for the fused whole-block attention kernel (ops/block_attention.py).
+
+The kernel fuses QKV projections + softmax attention + output projection for short
+sequences; these tests check it against a plain-JAX reference implementation (fwd and
+full VJP, causal and bidirectional), in Pallas interpret mode on CPU and compiled on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_tpu.ops.block_attention import block_attention, block_attn_supported
+
+
+def _ref_block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads, causal):
+    b, s, w = x.shape
+    hd = w // heads
+    f32 = jnp.float32
+    q = (x @ wq + bq).astype(f32).reshape(b, s, heads, hd)
+    k = (x @ wk + bk).astype(f32).reshape(b, s, heads, hd)
+    v = (x @ wv + bv).astype(f32).reshape(b, s, heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd ** -0.5
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(mask[None, None], logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, w).astype(x.dtype)
+    return out @ wo + bo
+
+
+def _make_inputs(key, b, s, w, dtype):
+    ks = jax.random.split(key, 9)
+    std = w ** -0.5
+    x = jax.random.normal(ks[0], (b, s, w), dtype)
+    weights = [jax.random.normal(ks[i], (w, w), dtype) * std for i in (1, 2, 3, 4)]
+    biases = [jax.random.normal(ks[i], (w,), dtype) * 0.02 for i in (5, 6, 7, 8)]
+    wq, wk, wv, wo = weights
+    bq, bk, bv, bo = biases
+    return x, (wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("b,s,w,heads", [(4, 50, 256, 4), (3, 77, 512, 8)])
+def test_forward_matches_reference(b, s, w, heads, causal):
+    assert block_attn_supported(b, s, w, heads)
+    x, ws = _make_inputs(jax.random.PRNGKey(0), b, s, w, jnp.float32)
+    got = block_attention(x, *ws, heads=heads, causal=causal)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_vjp_matches_reference(causal):
+    b, s, w, heads = 4, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(1), b, s, w, jnp.float32)
+
+    def loss_kernel(x, *ws):
+        y = block_attention(x, *ws, heads=heads, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, *ws):
+        y = _ref_block_attention(x, *ws, heads=heads, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    grads_k = jax.grad(loss_kernel, argnums=tuple(range(9)))(x, *ws)
+    grads_r = jax.grad(loss_ref, argnums=tuple(range(9)))(x, *ws)
+    names = ["dx", "dwq", "dbq", "dwk", "dbk", "dwv", "dbv", "dwo", "dbo"]
+    for name, gk, gr in zip(names, grads_k, grads_r):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), atol=3e-4 * scale, rtol=1e-3,
+            err_msg=name,
+        )
+
+
+def test_bf16_forward_close():
+    b, s, w, heads = 8, 64, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(2), b, s, w, jnp.bfloat16)
+    got = block_attention(x, *ws, heads=heads, causal=False).astype(jnp.float32)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2)
+
+
+def test_supported_predicate():
+    assert block_attn_supported(256, 50, 768, 12)   # ViT-B/32 vision tower
+    assert block_attn_supported(256, 77, 512, 8)    # text tower
+    assert not block_attn_supported(256, 196 + 1, 768, 12) is None  # always bool
+    assert not block_attn_supported(256, 400, 768, 12)  # too long
+    assert not block_attn_supported(256, 50, 768, 16)   # head_dim 48
+
+
+def test_odd_batch_falls_back_to_group_of_one():
+    b, s, w, heads = 5, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(3), b, s, w, jnp.float32)
+    got = block_attention(x, *ws, heads=heads, causal=False)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
