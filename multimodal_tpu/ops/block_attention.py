@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-MAX_BLOCK_SEQ = 128
+MAX_BLOCK_SEQ = 256
 
 
 def _interpret() -> bool:
@@ -49,10 +49,15 @@ def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
     )
 
 
-def _images_per_program(batch: int, fwd: bool) -> int:
-    # fwd fits G=8 in VMEM (weights + 2 blocks); bwd carries 5 output blocks -> G=4
-    for g in ((8, 4, 2, 1) if fwd else (4, 2, 1)):
-        if batch % g == 0:
+def _images_per_program(batch: int, seq: int, fwd: bool) -> int:
+    # VMEM budget expressed as total resident tokens per program (weights + x/y blocks +
+    # per-image q/k/v/probs temporaries): 1024 tokens fwd (G=8 at the S=128 design point),
+    # half that bwd, which carries 5 output blocks.
+    # bwd at S>128 uses _bwd_kernel_large, whose weights+refs leave room for only one
+    # image per program (g=2 at S=197 measured 16.05M scoped VMEM vs the 16M limit)
+    max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
+    for g in (8, 4, 2, 1) if fwd else (4, 2, 1):
+        if batch % g == 0 and g * seq <= max_tokens:
             return g
     return 1
 
@@ -180,6 +185,69 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
         dx_ref[g] = dx.astype(x.dtype)
 
 
+def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
+                      dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, *, g_imgs, heads,
+                      head_dim, scale, causal):
+    """Backward for LONG-short sequences (128 < S <= 256, e.g. ViT-B/16's S=197).
+
+    The stacked-[H*S, S] softmax layout of _bwd_kernel keeps three f32 [H*S, S] buffers
+    plus concat copies live at once — 21.6 MB of VMEM at S=197/W=768, over the 16 MB
+    scoped limit. Here each head's [S, S] probabilities live only inside one loop
+    iteration and per-token gradients stream directly into the output refs; at this S the
+    per-head softmax rows are wide enough that the stacked-vectorization trick no longer
+    pays for its memory."""
+    s = x_ref.shape[1]
+    cmask = _causal_mask(s) if causal else None
+    for g in range(g_imgs):
+        x = x_ref[g]
+        dy = dy_ref[g]
+        q = _proj(x, wq, bq)
+        k = _proj(x, wk, bk)
+        v = _proj(x, wv, bv)
+        do = jax.lax.dot_general(
+            dy.astype(jnp.float32), wo[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qh = q[:, sl].astype(jnp.float32)
+            kh = k[:, sl].astype(jnp.float32)
+            vh = v[:, sl].astype(jnp.float32)
+            doh = do[:, sl]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                logits = jnp.where(cmask, logits, NEG_INF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            attnpre_ref[g, :, sl] = jnp.dot(
+                p, vh, preferred_element_type=jnp.float32).astype(x.dtype)
+            dv_ref[g, :, sl] = jax.lax.dot_general(
+                p, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq_ref[g, :, sl] = (jnp.dot(
+                ds, kh, preferred_element_type=jnp.float32) * scale).astype(x.dtype)
+            dk_ref[g, :, sl] = (jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * scale).astype(x.dtype)
+        # dx = dq Wq^T + dk Wk^T + dv Wv^T, reading the per-token grads back from VMEM refs
+        dx = jax.lax.dot_general(
+            dq_ref[g].astype(jnp.float32), wq[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(
+            dk_ref[g].astype(jnp.float32), wk[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(
+            dv_ref[g].astype(jnp.float32), wv[...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dx_ref[g] = dx.astype(x.dtype)
+
+
 def _weight_specs(width: int):
     wspec = pl.BlockSpec((width, width), lambda i: (0, 0))
     bspec = pl.BlockSpec((width,), lambda i: (0,))
@@ -189,7 +257,7 @@ def _weight_specs(width: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
     b, s, w = x.shape
-    g_imgs = _images_per_program(b, fwd=True)
+    g_imgs = _images_per_program(b, s, fwd=True)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
     kern = functools.partial(
@@ -215,11 +283,12 @@ def _block_attention_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
 def _block_attention_bwd(heads, causal, residuals, dy):
     x, wq, bq, wk, bk, wv, bv, wo, bo = residuals
     b, s, w = x.shape
-    g_imgs = _images_per_program(b, fwd=False)
+    g_imgs = _images_per_program(b, s, fwd=False)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
+    bwd = _bwd_kernel if s <= 128 else _bwd_kernel_large
     kern = functools.partial(
-        _bwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
+        bwd, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
         scale=head_dim ** -0.5, causal=causal,
     )
     shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)

@@ -96,3 +96,22 @@ def test_odd_batch_falls_back_to_group_of_one():
     got = block_attention(x, *ws, heads=heads, causal=False)
     want = _ref_block_attention(x, *ws, heads=heads, causal=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_vit_b16_sequence_length():
+    # ViT-B/16 vision tower: S=197 (196 patches + cls), non-128-aligned
+    b, s, w, heads = 4, 197, 768, 12
+    assert block_attn_supported(b, s, w, heads)
+    x, ws = _make_inputs(jax.random.PRNGKey(4), b, s, w, jnp.float32)
+    got = block_attention(x, *ws, heads=heads, causal=False)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5)
+
+    def loss_k(x):
+        return jnp.sum(jnp.sin(block_attention(x, *ws, heads=heads, causal=False)))
+
+    def loss_r(x):
+        return jnp.sum(jnp.sin(_ref_block_attention(x, *ws, heads=heads, causal=False)))
+
+    gk, gr = jax.grad(loss_k)(x), jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=3e-4, rtol=1e-3)
