@@ -33,7 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-MAX_BLOCK_SEQ = 256
+MAX_BLOCK_SEQ = 320
+# v5e/v5p have 128 MB of VMEM; the default 16 MB scoped limit rejects the S>128 block
+# shapes (measured 21.6 MB at S=197), so raise it for these kernels specifically
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -52,9 +55,8 @@ def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
 def _images_per_program(batch: int, seq: int, fwd: bool) -> int:
     # VMEM budget expressed as total resident tokens per program (weights + x/y blocks +
     # per-image q/k/v/probs temporaries): 1024 tokens fwd (G=8 at the S=128 design point),
-    # half that bwd, which carries 5 output blocks.
-    # bwd at S>128 uses _bwd_kernel_large, whose weights+refs leave room for only one
-    # image per program (g=2 at S=197 measured 16.05M scoped VMEM vs the 16M limit)
+    # half that bwd, which carries 5 output blocks. bwd at S>128 switches to
+    # _bwd_kernel_large (streaming per-head grads) with one image per program.
     max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
     for g in (8, 4, 2, 1) if fwd else (4, 2, 1):
         if batch % g == 0 and g * seq <= max_tokens:
@@ -270,7 +272,9 @@ def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
         in_specs=[xspec] + _weight_specs(w),
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(x, wq, bq, wk, bk, wv, bv, wo, bo)
 
@@ -298,7 +302,9 @@ def _block_attention_bwd(heads, causal, residuals, dy):
         in_specs=[xspec, xspec] + _weight_specs(w),
         out_specs=[xspec] * 5,
         out_shape=[shape] * 5,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(x, dy, wq, bq, wk, bk, wv, bv, wo, bo)
 

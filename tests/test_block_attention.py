@@ -115,3 +115,22 @@ def test_vit_b16_sequence_length():
 
     gk, gr = jax.grad(loss_k)(x), jax.grad(loss_r)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=3e-4, rtol=1e-3)
+
+
+def test_vit_l14_sequence_length():
+    # ViT-L/14 vision tower: S=257, W=1024, 16 heads
+    b, s, w, heads = 2, 257, 1024, 16
+    assert block_attn_supported(b, s, w, heads)
+    x, ws = _make_inputs(jax.random.PRNGKey(5), b, s, w, jnp.float32)
+    got = block_attention(x, *ws, heads=heads, causal=False)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5)
+
+    def loss_k(x):
+        return jnp.sum(jnp.sin(block_attention(x, *ws, heads=heads, causal=False)))
+
+    def loss_r(x):
+        return jnp.sum(jnp.sin(_ref_block_attention(x, *ws, heads=heads, causal=False)))
+
+    gk, gr = jax.grad(loss_k)(x), jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=3e-4, rtol=1e-3)
