@@ -58,6 +58,8 @@ def _images_per_program(batch: int, seq: int, fwd: bool) -> int:
     # half that bwd, which carries 5 output blocks. bwd at S>128 switches to
     # _bwd_kernel_large (streaming per-head grads) with one image per program.
     max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
+    # larger groups under the raised VMEM limit regress (g=16/8 at S=50 measured 2185
+    # vs 2385 samples/s: fewer grid programs = coarser DMA/compute pipelining)
     for g in (8, 4, 2, 1) if fwd else (4, 2, 1):
         if batch % g == 0 and g * seq <= max_tokens:
             return g
