@@ -99,7 +99,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "clip_vitb32_train_samples_per_s_per_chip",
+                "metric": f"clip_{args.model.lower().replace('-', '')}"
+                          "_train_samples_per_s_per_chip",
                 "value": round(per_chip, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_S_PER_GPU, 4),

@@ -292,7 +292,9 @@ def _block_attention_bwd(heads, causal, residuals, dy):
     g_imgs = _images_per_program(b, s, fwd=False)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
-    bwd = _bwd_kernel if s <= 128 else _bwd_kernel_large
+    import os
+    bwd = (_bwd_kernel if s <= 128 and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
+           else _bwd_kernel_large)
     kern = functools.partial(
         bwd, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
         scale=head_dim ** -0.5, causal=causal,
