@@ -286,13 +286,41 @@ def _block_attention_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
     return out, (x, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
+def _bwd_via_xla(heads, causal, residuals, dy):
+    """Hybrid-mode backward: recompute the attention forward in plain XLA and let autodiff
+    derive the gradients (kernel forward + XLA backward). Selected by MMTPU_BLOCK_ATTN_BWD=xla
+    for A/B measurement against the Pallas backward."""
+    x, wq, bq, wk, bk, wv, bv, wo, bo = residuals
+
+    def fwd(x, wq, bq, wk, bk, wv, bv, wo, bo):
+        b, s, w = x.shape
+        hd = w // heads
+        q = (x @ wq + bq).reshape(b, s, heads, hd)
+        k = (x @ wk + bk).reshape(b, s, heads, hd)
+        v = (x @ wv + bv).reshape(b, s, heads, hd)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) * hd ** -0.5
+        if causal:
+            logits = jnp.where(_causal_mask(s)[None, None], logits, NEG_INF)
+        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, w)
+        return out @ wo + bo
+
+    _, vjp = jax.vjp(fwd, x, wq, bq, wk, bk, wv, bv, wo, bo)
+    return vjp(dy)
+
+
 def _block_attention_bwd(heads, causal, residuals, dy):
+    import os
+
+    if os.environ.get("MMTPU_BLOCK_ATTN_BWD") == "xla":
+        return _bwd_via_xla(heads, causal, residuals, dy)
     x, wq, bq, wk, bk, wv, bv, wo, bo = residuals
     b, s, w = x.shape
     g_imgs = _images_per_program(b, s, fwd=False)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
-    import os
     bwd = (_bwd_kernel if s <= 128 and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
            else _bwd_kernel_large)
     kern = functools.partial(
