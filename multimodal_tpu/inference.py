@@ -46,16 +46,31 @@ class Embedder:
         self._encode_image = _encode_image
 
     def _batched(self, encode, array: np.ndarray) -> np.ndarray:
-        """Pad the tail to the fixed batch so every call reuses one compiled program."""
+        """Pad the tail to the fixed batch so every call reuses one compiled program.
+
+        Batches are dispatched ahead of the host fetch (bounded in-flight window) so the
+        host->device transfer of batch i+1 overlaps the encode of batch i — JAX's async
+        dispatch does the rest. Synchronous per-batch round trips were the serving-path
+        bottleneck before compute was (uint8 wire + pipelining; see RESULTS.md)."""
         n = array.shape[0]
+        in_flight: list[tuple[object, int]] = []
         outs = []
+
+        def drain_one():
+            out, pad = in_flight.pop(0)
+            out = np.asarray(out)
+            outs.append(out if not pad else out[:-pad])
+
         for start in range(0, n, self.batch_size):
             chunk = array[start : start + self.batch_size]
             pad = self.batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            out = np.asarray(encode(self.params, jnp.asarray(chunk)))
-            outs.append(out if not pad else out[:-pad])
+            in_flight.append((encode(self.params, jnp.asarray(chunk)), pad))
+            if len(in_flight) > 3:
+                drain_one()
+        while in_flight:
+            drain_one()
         return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
 
     def embed_texts(self, texts: Sequence[str], context_length: Optional[int] = None):
