@@ -98,12 +98,14 @@ class FileListDataset:
             yield batch
 
 
-def coco_captions(root: str, split: str = "train", year: str = "2017") -> list[tuple[str, str]]:
+def coco_captions(root: str, split: str = "train", year: str = "2017",
+                  ann_path: str | None = None) -> list[tuple[str, str]]:
     """Parse COCO ``annotations/captions_{split}{year}.json`` into (image_path, caption)
     pairs — one pair per annotation (Datasets/coco.py:40-80 keeps all captions).
 
-    Layout: root/{split}{year}/*.jpg + root/annotations/captions_{split}{year}.json."""
-    ann_path = os.path.join(root, "annotations", f"captions_{split}{year}.json")
+    Layout: root/{split}{year}/*.jpg + root/annotations/captions_{split}{year}.json;
+    ann_path overrides the annotation file location (CLI --ms-coco-annot)."""
+    ann_path = ann_path or os.path.join(root, "annotations", f"captions_{split}{year}.json")
     with open(ann_path) as f:
         ann = json.load(f)
     id_to_file = {
@@ -269,16 +271,17 @@ class LabeledImageFolder:
                 yield arr, labels
 
 
-def flickr_items(root: str) -> list[tuple[str, str]]:
+def flickr_items(root: str, token_path: str | None = None) -> list[tuple[str, str]]:
     """Flickr30K layout: root/flickr30k-images/*.jpg + root/results_20130124.token
     ('image.jpg#N<TAB>caption' per line — the standard karpathy-style token file used by
-    the reference's Flickr retrieval set, main/data.py:673-708)."""
-    token_path = None
-    for cand in ("results_20130124.token", "results.token", "captions.token"):
-        p = os.path.join(root, cand)
-        if os.path.exists(p):
-            token_path = p
-            break
+    the reference's Flickr retrieval set, main/data.py:673-708). token_path overrides the
+    token-file location (CLI --flickr-annot)."""
+    if token_path is None:
+        for cand in ("results_20130124.token", "results.token", "captions.token"):
+            p = os.path.join(root, cand)
+            if os.path.exists(p):
+                token_path = p
+                break
     if token_path is None:
         raise FileNotFoundError(f"no Flickr token file under {root}")
     img_dir = os.path.join(root, "flickr30k-images")

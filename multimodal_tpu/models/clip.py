@@ -23,7 +23,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multimodal_tpu.models.config import CLIPConfig, VariationalConfig
-from multimodal_tpu.models.layers import (
+from multimodal_tpu.models.layers import (  # noqa: I001
+    quick_gelu,
     AttentionalPooler,
     LayerNorm,
     PatchDropout,
@@ -40,6 +41,17 @@ def causal_additive_mask(seq_len: int, dtype=jnp.float32):
     """Additive [-inf upper triangle] mask for running a shared trunk causally."""
     mask = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype=dtype), k=1)
     return mask[None, None]  # [1, 1, S, S]
+
+
+
+def _resolve_act(name: str):
+    """Config string -> activation ("quick_gelu" = OpenAI CLIP, "gelu" = OpenCLIP-style;
+    reference factory.py:137-140 forces the former via --force-quick-gelu)."""
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return nn.gelu
+    raise ValueError(f"unknown activation {name!r}")
 
 
 class VisionStem(nn.Module):
@@ -179,6 +191,7 @@ class CLIP(nn.Module):
                 c.vision.mlp_ratio,
                 dtype=self.dtype,
                 remat=c.remat,
+            act=_resolve_act(c.act),
                 ls_init_value=c.vision.ls_init_value,
                 scaled_cosine=c.vision.scaled_cosine,
                 scale_heads=c.vision.scale_heads,
@@ -199,6 +212,7 @@ class CLIP(nn.Module):
                 c.vision.mlp_ratio,
                 dtype=self.dtype,
                 remat=c.remat,
+            act=_resolve_act(c.act),
                 ls_init_value=c.vision.ls_init_value,
                 scaled_cosine=c.vision.scaled_cosine,
                 scale_heads=c.vision.scale_heads,
@@ -212,6 +226,7 @@ class CLIP(nn.Module):
                 causal=True,
                 dtype=self.dtype,
                 remat=c.remat,
+            act=_resolve_act(c.act),
                 ls_init_value=c.text.ls_init_value,
                 name="text_transformer",
             )
@@ -309,6 +324,7 @@ class VariationalCLIP(nn.Module):
             c.vision.mlp_ratio,
             dtype=self.dtype,
             remat=c.remat,
+            act=_resolve_act(c.act),
             name="visual_transformer",
         )
         # text trunk is causal over context_length + 1 (mask rebuilt for the extra token,
@@ -321,6 +337,7 @@ class VariationalCLIP(nn.Module):
             causal=True,
             dtype=self.dtype,
             remat=c.remat,
+            act=_resolve_act(c.act),
             name="text_transformer",
         )
         self.ln_post = LayerNorm(name="ln_post")

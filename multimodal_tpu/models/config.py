@@ -50,6 +50,9 @@ class CLIPConfig:
     # requires vision.width == text.width etc. (asserted at model.py:165-169)
     share_trunk: bool = False
     remat: bool = False  # per-block rematerialization (grad checkpointing)
+    # MLP activation: "quick_gelu" (OpenAI CLIP) or "gelu" (OpenCLIP LAION-style configs;
+    # the reference forces the former via --force-quick-gelu, factory.py:137-140)
+    act: str = "quick_gelu"
 
     def __post_init__(self):
         if self.share_trunk:
@@ -106,6 +109,9 @@ def clip_config_from_dict(d: dict) -> CLIPConfig:
         text=_text_from_json(d.get("text_cfg", {})),
         share_trunk=d.get("share_trunk", False),
         remat=d.get("remat", False),
+        # "act": "gelu"|"quick_gelu", or OpenCLIP-style "quick_gelu": false; the default
+        # stays QuickGELU (every reference model is OpenAI-style, factory.py:137-140)
+        act=d.get("act", "quick_gelu" if d.get("quick_gelu", True) else "gelu"),
     )
 
 

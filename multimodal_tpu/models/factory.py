@@ -26,12 +26,15 @@ def create_model(
     dtype: Any = jnp.float32,
     remat: Optional[bool] = None,
     patch_dropout: Optional[float] = None,
+    force_quick_gelu: bool = False,
 ):
     import dataclasses
 
     cfg = get_model_config(name)
     if remat is not None:
         cfg = dataclasses.replace(cfg, remat=remat)
+    if force_quick_gelu:  # reference factory.py:137-140 / params.py --force-quick-gelu
+        cfg = dataclasses.replace(cfg, act="quick_gelu")
     if patch_dropout is not None:  # --force-patch-dropout (reference params.py:246-251)
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(cfg.vision, patch_dropout=patch_dropout)

@@ -71,6 +71,8 @@ def parse_args(args=None):
     g.add_argument("--warmup", type=int, default=10000, help="warmup steps")
     g.add_argument("--lr-scheduler", choices=["cosine", "const", "const-cooldown"],
                    default="cosine")
+    g.add_argument("--skip-scheduler", action="store_true",
+                   help="constant LR, no warmup/decay (params.py --skip-scheduler)")
     g.add_argument("--lr-cooldown-end", type=float, default=0.0)
     g.add_argument("--lr-cooldown-power", type=float, default=1.0)
     g.add_argument("--accum-freq", type=int, default=1, help="gradient accumulation steps")
@@ -95,7 +97,27 @@ def parse_args(args=None):
                    help="FLIP-style patch token dropout rate at train time")
     g.add_argument("--lock-image", action="store_true",
                    help="freeze the image tower (run.py:248-259)")
+    g.add_argument("--lock-image-unlocked-groups", type=int, default=0,
+                   help="with --lock-image: leave the last N blocks (+post-norm/proj) "
+                        "trainable (params.py --lock-image-unlocked-groups)")
+    g.add_argument("--lock-image-freeze-bn-stats", action="store_true",
+                   help="accepted for recipe compat; ViT towers have no batch norm")
     g.add_argument("--lock-text", action="store_true")
+    g.add_argument("--lock-text-unlocked-layers", type=int, default=0,
+                   help="with --lock-text: leave the last N blocks (+final LN/proj) trainable")
+    g.add_argument("--lock-text-freeze-layer-norm", action="store_true",
+                   help="with partial unlocking: keep LayerNorm params in unlocked blocks "
+                        "frozen (params.py --lock-text-freeze-layer-norm)")
+    g.add_argument("--force-quick-gelu", action="store_true",
+                   help="force QuickGELU MLPs regardless of model config (factory.py:137)")
+    g.add_argument("--force-custom-text", "--use-bn-sync", "--pretrained-image",
+                   action="store_true", dest="gpu_flags_noop",
+                   help="accepted for recipe compat; HF text towers / SyncBN / "
+                        "timm-pretrained stems are CUDA-stack concepts with no TPU "
+                        "counterpart here")
+    g.add_argument("--use-bnb-linear", default=None,
+                   help="accepted for recipe compat; bitsandbytes int8 linears are a CUDA "
+                        "concept (TPU int8 would go through AQT) — ignored")
     g.add_argument("--grad-checkpointing", action="store_true",
                    help="remat per encoder block (transformer.py:319-326)")
     g.add_argument("--torchscript", "--torchcompile", "--trace", action="store_true",
@@ -111,6 +133,8 @@ def parse_args(args=None):
     # ------------------------------------------------------------------ loss
     g = parser.add_argument_group("loss")
     g.add_argument("--loss", choices=["clip", "cloob", "align", "vclip"], default="clip")
+    g.add_argument("--clip-loss", action="store_true",
+                   help="force plain InfoNCE (reference --clip-loss); same as --loss clip")
     g.add_argument("--local-loss", action="store_true", default=True,
                    help="local@global logits with axis-offset labels (loss.py:109-117)")
     g.add_argument("--gather-with-grad", action="store_true", default=True,
@@ -160,6 +184,12 @@ def parse_args(args=None):
     g.add_argument("--remote-sync", default=None,
                    help="rsync/fsspec target directory for background checkpoint sync")
     g.add_argument("--remote-sync-frequency", type=int, default=300)
+    g.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3",
+                   help="accepted for recipe compat; the sync backend is chosen from the "
+                        "target path (local/posix recursive copy here)")
+    g.add_argument("--copy-codebase", action="store_true",
+                   help="snapshot the multimodal_tpu package into the experiment dir "
+                        "(run.py:468-486)")
 
     # ------------------------------------------------------------- logging
     g = parser.add_argument_group("logging")
@@ -177,12 +207,23 @@ def parse_args(args=None):
     g.add_argument("--val-frequency", type=int, default=1)
     g.add_argument("--zeroshot-frequency", type=int, default=2)
     g.add_argument("--retrieval-frequency", type=int, default=1)
-    for ds in ["imagenet-val", "imagenet-v2", "imagenet-s", "imagenet-a", "imagenet-o",
-               "imagenet-r", "cifar10", "cifar100", "flowers", "food", "stanford-cars",
-               "coco-retrieval", "flickr-retrieval"]:
-        g.add_argument(f"--{ds}", default=None, help=f"path to {ds} eval data")
-    g.add_argument("--linear-probe-train", default=None,
-                   help="folder-per-class train set for linear probing")
+    # second option string = the reference's spelling of the same flag (params.py:441-535)
+    for names in [["imagenet-val"], ["imagenet-v2"], ["imagenet-s", "imagenet-sketch"],
+                  ["imagenet-a"], ["imagenet-o"], ["imagenet-r"], ["cifar10"], ["cifar100"],
+                  ["flowers", "flowers-102"], ["food", "food-101"],
+                  ["stanford-cars", "stanford"], ["coco-retrieval", "ms-coco"],
+                  ["flickr-retrieval", "flickr"]]:
+        g.add_argument(*[f"--{n}" for n in names], default=None,
+                       help=f"path to {names[0]} eval data")
+    g.add_argument("--ms-coco-annot", default=None,
+                   help="COCO retrieval annotation file (captions json); defaults to the "
+                        "standard location under --coco-retrieval")
+    g.add_argument("--flickr-annot", default=None,
+                   help="Flickr30K retrieval annotation/token file")
+    g.add_argument("--linear-probe-train", "--imagenet-train", default=None,
+                   dest="linear_probe_train",
+                   help="folder-per-class train set for linear probing (the reference's "
+                        "--imagenet-train)")
     g.add_argument("--linear-probe-val", default=None)
     g.add_argument("--linear-probe-epochs", type=int, default=100)
 
@@ -210,6 +251,8 @@ def parse_args(args=None):
             setattr(ns, k, v)
     if ns.clip_inModality_loss:
         ns.loss = "align"
+    if ns.clip_loss:
+        ns.loss = "clip"
     if ns.variational:
         ns.loss = "vclip"
     return ns

@@ -68,16 +68,45 @@ def _loss_kwargs(args) -> dict:
     raise ValueError(args.loss)
 
 
-def _freeze_mask(params, lock_image: bool, lock_text: bool):
-    """optax.masked zero-update mask for locked towers (run.py:248-259 lock semantics)."""
+def _freeze_mask(params, lock_image: bool, lock_text: bool,
+                 unlocked_image_groups: int = 0, unlocked_text_layers: int = 0,
+                 freeze_layer_norm: bool = False):
+    """optax.masked zero-update mask for locked towers (run.py:248-259 lock semantics).
+
+    unlocked_image_groups / unlocked_text_layers leave the LAST N transformer blocks plus
+    the post-norm and projection trainable (reference --lock-image-unlocked-groups /
+    --lock-text-unlocked-layers); freeze_layer_norm keeps LayerNorm params inside those
+    unlocked blocks frozen (--lock-text-freeze-layer-norm)."""
     import optax
+    import re
+
+    names = []
+    jax.tree_util.tree_map_with_path(
+        lambda p, _: names.append("/".join(str(getattr(k, "key", k)) for k in p)), params)
+
+    def tower_depth(tower_tag: str) -> int:
+        idxs = [int(m.group(1)) for n in names if tower_tag in n
+                for m in re.finditer(r"resblock_(\d+)", n)]
+        return max(idxs) + 1 if idxs else 0
+
+    def unlocked(name: str, tower_tag: str, n_unlocked: int) -> bool:
+        if n_unlocked <= 0:
+            return False
+        m = re.search(r"resblock_(\d+)", name)
+        if m is not None:
+            in_tail = int(m.group(1)) >= tower_depth(tower_tag) - n_unlocked
+            if in_tail and freeze_layer_norm and ("ln_1" in name or "ln_2" in name):
+                return False
+            return in_tail
+        # non-block params: post-norm + projection stay trainable when partially unlocked
+        return any(t in name for t in ("ln_post", "ln_final", "projection"))
 
     def keep(path, leaf):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         if lock_image and ("visual" in name):
-            return False
+            return unlocked(name, "visual", unlocked_image_groups)
         if lock_text and ("text" in name and "logit" not in name):
-            return False
+            return unlocked(name, "text", unlocked_text_layers)
         return True
 
     mask = jax.tree_util.tree_map_with_path(keep, params)
@@ -234,8 +263,10 @@ def retrieval_eval_all(model, params, args) -> dict:
         return {}
     results = {}
     loaders = [
-        ("coco_retrieval", lambda root: coco_captions(root, split="val")),
-        ("flickr_retrieval", flickr_items),
+        ("coco_retrieval", lambda root: coco_captions(
+            root, split="val", ann_path=getattr(args, "ms_coco_annot", None))),
+        ("flickr_retrieval", lambda root: flickr_items(
+            root, token_path=getattr(args, "flickr_annot", None))),
     ]
     for flag, loader in loaders:
         root = getattr(args, flag, None)
@@ -360,6 +391,17 @@ def main(argv=None):
         args.name = f"{args.model}-{args.loss}-{date_str}"
     args.log_dir = os.path.join(args.logs, args.name)
     os.makedirs(args.log_dir, exist_ok=True)
+    if args.copy_codebase and host_id == 0:
+        # snapshot the package next to the logs for exact reproducibility (run.py:468-486)
+        import multimodal_tpu as _pkg
+        import shutil
+
+        dst = os.path.join(args.log_dir, "code", "multimodal_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(
+                os.path.dirname(os.path.abspath(_pkg.__file__)), dst,
+                ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"),
+            )
 
     setup_logging(
         os.path.join(args.log_dir, "out.log") if (host_id == 0 or args.log_local) else None,
@@ -403,6 +445,7 @@ def main(argv=None):
         args.model, variational=args.variational, vcfg=vcfg, dtype=dtype,
         remat=args.grad_checkpointing or None,
         patch_dropout=args.force_patch_dropout,
+        force_quick_gelu=args.force_quick_gelu,
     )
     params = init_params(model, jax.random.PRNGKey(args.seed))
     if args.pretrained:
@@ -469,11 +512,14 @@ def main(argv=None):
     total_steps = steps_per_epoch * args.epochs
 
     # -------------------------------------------------------------- optimizer
-    schedule = make_schedule(
-        args.lr_scheduler, args.lr, warmup_steps=args.warmup, total_steps=total_steps,
-        cooldown_steps=(args.epochs_cooldown or 0) * steps_per_epoch,
-        cooldown_power=args.lr_cooldown_power, cooldown_end_lr=args.lr_cooldown_end,
-    )
+    if args.skip_scheduler:  # constant LR, no warmup/decay (params.py --skip-scheduler)
+        schedule = args.lr
+    else:
+        schedule = make_schedule(
+            args.lr_scheduler, args.lr, warmup_steps=args.warmup, total_steps=total_steps,
+            cooldown_steps=(args.epochs_cooldown or 0) * steps_per_epoch,
+            cooldown_power=args.lr_cooldown_power, cooldown_end_lr=args.lr_cooldown_end,
+        )
     tx = make_optimizer(
         schedule, weight_decay=args.wd, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         grad_clip_norm=args.grad_clip_norm, skip_nonfinite=args.skip_nonfinite,
@@ -481,7 +527,12 @@ def main(argv=None):
     if args.lock_image or args.lock_text:
         import optax
 
-        masked, mask = _freeze_mask(params, args.lock_image, args.lock_text)
+        masked, mask = _freeze_mask(
+            params, args.lock_image, args.lock_text,
+            unlocked_image_groups=args.lock_image_unlocked_groups,
+            unlocked_text_layers=args.lock_text_unlocked_layers,
+            freeze_layer_norm=args.lock_text_freeze_layer_norm,
+        )
         tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
             lambda m: not m, mask)))
 

@@ -101,3 +101,88 @@ def test_evaluate_variational_uses_means():
 
     metrics = evaluate(model, params, DataInfo(src), None, epoch=0, args=Args())
     assert "image_to_text_R@1" in metrics and np.isfinite(metrics["val_loss"])
+
+
+def test_full_reference_flag_surface_parses():
+    """Every flag name the reference's main/params.py defines must be accepted
+    (values routed to our equivalents or documented no-ops)."""
+    from multimodal_tpu.train.params import parse_args
+
+    ns = parse_args([
+        "--clip-loss", "--skip-scheduler", "--copy-codebase", "--force-quick-gelu",
+        "--force-custom-text", "--use-bn-sync", "--pretrained-image",
+        "--use-bnb-linear", "int8",
+        "--lock-image", "--lock-image-unlocked-groups", "2", "--lock-image-freeze-bn-stats",
+        "--lock-text", "--lock-text-unlocked-layers", "1", "--lock-text-freeze-layer-norm",
+        "--remote-sync-protocol", "fsspec",
+        "--imagenet-sketch", "/d/sk", "--flowers-102", "/d/fl", "--food-101", "/d/fo",
+        "--stanford", "/d/ca", "--ms-coco", "/d/coco", "--ms-coco-annot", "/d/ann.json",
+        "--flickr", "/d/flk", "--flickr-annot", "/d/tok",
+        "--imagenet-train", "/d/in-train",
+    ])
+    assert ns.loss == "clip" and ns.skip_scheduler and ns.copy_codebase
+    assert ns.force_quick_gelu and ns.lock_image_unlocked_groups == 2
+    assert ns.lock_text_unlocked_layers == 1 and ns.lock_text_freeze_layer_norm
+    # aliases land in the canonical destinations
+    assert ns.imagenet_s == "/d/sk" and ns.flowers == "/d/fl" and ns.food == "/d/fo"
+    assert ns.stanford_cars == "/d/ca" and ns.coco_retrieval == "/d/coco"
+    assert ns.flickr_retrieval == "/d/flk" and ns.flickr_annot == "/d/tok"
+    assert ns.linear_probe_train == "/d/in-train" and ns.ms_coco_annot == "/d/ann.json"
+
+
+def test_partial_tower_unlocking_mask():
+    """--lock-image-unlocked-groups leaves only the tail blocks + post-norm/proj trainable."""
+    import jax
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.train.run import _freeze_mask
+
+    model = create_model("tiny-test")
+    params = init_params(model)
+    _, mask = _freeze_mask(params, lock_image=True, lock_text=False,
+                           unlocked_image_groups=1)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): v
+        for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    vis = {n: v for n, v in flat.items() if "visual" in n}
+    depth = max(int(n.split("resblock_")[1].split("/")[0])
+                for n in vis if "resblock_" in n)
+    for name, trainable in vis.items():
+        if f"resblock_{depth}" in name or "ln_post" in name or "projection" in name:
+            assert trainable, name
+        else:
+            assert not trainable, name
+    # text tower untouched
+    assert all(v for n, v in flat.items() if "text" in n and "logit" not in n)
+
+
+def test_skip_scheduler_constant_lr(tmp_path):
+    rc = main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "s",
+                      "--skip-scheduler", "--lr", "1e-4", "--copy-codebase"])
+    assert rc == 0
+    assert (tmp_path / "s" / "code" / "multimodal_tpu" / "train" / "run.py").exists()
+
+
+def test_force_quick_gelu_and_gelu_configs_differ():
+    import jax.numpy as jnp
+    import numpy as np
+    import json
+    import os
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.models.config import _CONFIG_DIR, add_model_config
+
+    with open(os.path.join(_CONFIG_DIR, "tiny-test.json")) as f:
+        raw = json.load(f)
+    add_model_config("tiny-gelu", {**raw, "act": "gelu"})
+    m_q = create_model("tiny-gelu", force_quick_gelu=True)
+    m_g = create_model("tiny-gelu")
+    assert m_q.cfg.act == "quick_gelu" and m_g.cfg.act == "gelu"
+    params = init_params(m_q)
+    from multimodal_tpu.models.factory import example_inputs
+    img, txt = example_inputs(m_q.cfg)
+    out_q = m_q.apply(params, img, txt)
+    out_g = m_g.apply(params, img, txt)  # same tree shape, different activation
+    assert not np.allclose(np.asarray(out_q["image_features"], np.float32),
+                           np.asarray(out_g["image_features"], np.float32))
+    assert bool(jnp.all(jnp.isfinite(out_g["image_features"])))
