@@ -18,6 +18,7 @@ from multimodal_tpu.models.captioner import (
 )
 from multimodal_tpu.models.checkpoint_interop import (
     convert_torch_state_dict,
+    export_torch_state_dict,
     load_pretrained,
     resize_pos_embed,
 )

@@ -225,3 +225,69 @@ def load_pretrained(path: str, params_template, cfg: CLIPConfig):
     return jax.tree_util.tree_map(
         lambda leaf, ref: np.asarray(leaf, np.asarray(ref).dtype), converted, params_template
     )
+
+
+# --------------------------------------------------------------------------- export
+def _unmap_block(blk: Mapping[str, Any], dst: str) -> dict:
+    """Inverse of _map_block: flax block leaves -> torch ResidualAttentionBlock tensors
+    (separate q/k/v kernels re-fused into in_proj [3W, W], row order q, k, v)."""
+    a = blk["attn"]
+    g = lambda t: np.asarray(t, np.float32)  # noqa: E731
+    qkv_w = np.concatenate([g(a[k]["kernel"]).T for k in ("query", "key", "value")], axis=0)
+    qkv_b = np.concatenate([g(a[k]["bias"]) for k in ("query", "key", "value")], axis=0)
+    return {
+        f"{dst}.attn.in_proj_weight": qkv_w,
+        f"{dst}.attn.in_proj_bias": qkv_b,
+        f"{dst}.attn.out_proj.weight": g(a["out"]["kernel"]).T,
+        f"{dst}.attn.out_proj.bias": g(a["out"]["bias"]),
+        f"{dst}.ln_1.weight": g(blk["ln_1"]["LayerNorm_0"]["scale"]),
+        f"{dst}.ln_1.bias": g(blk["ln_1"]["LayerNorm_0"]["bias"]),
+        f"{dst}.ln_2.weight": g(blk["ln_2"]["LayerNorm_0"]["scale"]),
+        f"{dst}.ln_2.bias": g(blk["ln_2"]["LayerNorm_0"]["bias"]),
+        f"{dst}.mlp.c_fc.weight": g(blk["mlp"]["c_fc"]["kernel"]).T,
+        f"{dst}.mlp.c_fc.bias": g(blk["mlp"]["c_fc"]["bias"]),
+        f"{dst}.mlp.c_proj.weight": g(blk["mlp"]["c_proj"]["kernel"]).T,
+        f"{dst}.mlp.c_proj.bias": g(blk["mlp"]["c_proj"]["bias"]),
+    }
+
+
+def export_torch_state_dict(params: Mapping[str, Any], cfg: CLIPConfig) -> dict:
+    """flax params tree -> OpenAI-CLIP/SharedCLIP-format torch state_dict (numpy values;
+    pass through torch.save after torch.from_numpy to write a .pt the reference stack
+    loads). Exact inverse of convert_torch_state_dict — lets a reference user train here
+    and evaluate with their existing torch tooling."""
+    p = params["params"] if "params" in params else params
+    g = lambda t: np.asarray(t, np.float32)  # noqa: E731
+
+    sd: dict = {
+        "visual.conv1.weight": np.transpose(
+            g(p["visual_stem"]["patch_conv"]["kernel"]), (3, 2, 0, 1)),
+        "visual.class_embedding": g(p["visual_stem"]["class_embedding"]),
+        "visual.positional_embedding": g(p["visual_stem"]["positional_embedding"]),
+        "visual.ln_pre.weight": g(p["visual_stem"]["ln_pre"]["LayerNorm_0"]["scale"]),
+        "visual.ln_pre.bias": g(p["visual_stem"]["ln_pre"]["LayerNorm_0"]["bias"]),
+        "token_embedding.weight": g(p["text_stem"]["token_embedding"]["embedding"]),
+        "positional_embedding": g(p["text_stem"]["positional_embedding"]),
+        "logit_scale": g(p["logit_scale"]).reshape(()),
+    }
+    if cfg.share_trunk:
+        for i in range(cfg.vision.layers):
+            sd.update(_unmap_block(p["transformer"][f"resblock_{i}"],
+                                   f"transformer.resblocks.{i}"))
+        sd["visual.ln_post.weight"] = g(p["ln_post"]["LayerNorm_0"]["scale"])
+        sd["visual.ln_post.bias"] = g(p["ln_post"]["LayerNorm_0"]["bias"])
+        sd["projection"] = g(p["projection"])
+    else:
+        for i in range(cfg.vision.layers):
+            sd.update(_unmap_block(p["visual_transformer"][f"resblock_{i}"],
+                                   f"visual.transformer.resblocks.{i}"))
+        for i in range(cfg.text.layers):
+            sd.update(_unmap_block(p["text_transformer"][f"resblock_{i}"],
+                                   f"transformer.resblocks.{i}"))
+        sd["visual.ln_post.weight"] = g(p["ln_post"]["LayerNorm_0"]["scale"])
+        sd["visual.ln_post.bias"] = g(p["ln_post"]["LayerNorm_0"]["bias"])
+        sd["ln_final.weight"] = g(p["ln_final"]["LayerNorm_0"]["scale"])
+        sd["ln_final.bias"] = g(p["ln_final"]["LayerNorm_0"]["bias"])
+        sd["visual.proj"] = g(p["visual_projection"])
+        sd["text_projection"] = g(p["text_projection"])
+    return sd

@@ -181,3 +181,45 @@ def test_shape_mismatch_raises(torch_and_jax):
     jm = create_model("interop-test")
     with pytest.raises(ValueError, match="shape mismatch"):
         _check_tree_match(bad, jax.tree_util.tree_map(np.asarray, init_params(jm)))
+
+
+def test_export_round_trip_two_tower():
+    """export_torch_state_dict is the exact inverse of convert_torch_state_dict."""
+    import numpy as np
+    from multimodal_tpu.models import (
+        convert_torch_state_dict, create_model, export_torch_state_dict, init_params,
+    )
+
+    model = create_model("tiny-test")
+    params = init_params(model)
+    sd = export_torch_state_dict(params, model.cfg)
+    back = convert_torch_state_dict(sd, model.cfg)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = {tuple(str(getattr(k, "key", k)) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(back)[0]}
+    for path, a in flat_a:
+        key = tuple(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_allclose(np.asarray(a, np.float32), flat_b[key], atol=1e-6,
+                                   err_msg="/".join(key))
+    # and a reference-format consumer sees the canonical names
+    assert "visual.conv1.weight" in sd and "text_projection" in sd
+    assert sd["visual.conv1.weight"].shape[2:] == (16, 16)
+
+
+def test_export_round_trip_shared_trunk():
+    import numpy as np
+    from multimodal_tpu.models import (
+        convert_torch_state_dict, create_model, export_torch_state_dict, init_params,
+    )
+
+    model = create_model("tiny-test-shared")
+    params = init_params(model)
+    sd = export_torch_state_dict(params, model.cfg)
+    assert "projection" in sd and "transformer.resblocks.0.attn.in_proj_weight" in sd
+    back = convert_torch_state_dict(sd, model.cfg)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(back)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x, np.float32), y, atol=1e-6)
