@@ -110,6 +110,13 @@ def parse_args(args=None):
                         "frozen (params.py --lock-text-freeze-layer-norm)")
     g.add_argument("--force-quick-gelu", action="store_true",
                    help="force QuickGELU MLPs regardless of model config (factory.py:137)")
+    g.add_argument("--train-projections-only", action="store_true",
+                   help="freeze everything except the output projections + logit scale "
+                        "(Models/clipModel.py:37-42 freeze_for_finetuning)")
+    g.add_argument("--freeze-backbone", action="store_true",
+                   help="variational finetune: train only the heads vCLIP adds on a "
+                        "pretrained backbone (variationalClip.py:204 / trainer.ipynb "
+                        "FREEZE_BACKBONE)")
     g.add_argument("--force-custom-text", "--use-bn-sync", "--pretrained-image",
                    action="store_true", dest="gpu_flags_noop",
                    help="accepted for recipe compat; HF text towers / SyncBN / "

@@ -113,6 +113,30 @@ def _freeze_mask(params, lock_image: bool, lock_text: bool,
     return optax.masked, mask
 
 
+def _finetune_mask(params, mode: str):
+    """Masks for the reference's notebook-side freeze modes.
+
+    mode='projections': train only the output projections + logit scale
+    (Models/clipModel.py:37-42 freeze_for_finetuning — visual.proj/text_projection).
+    mode='heads': train only the parameters a VariationalCLIP adds on top of a pretrained
+    backbone — mean/var projections, concentration token + scale, final norms, logit scale
+    (Models/variationalClip.py:204 freeze_backbone / trainer.ipynb FREEZE_BACKBONE)."""
+    import optax
+
+    head_tags = {
+        "projections": ("projection", "logit_scale"),
+        "heads": ("projection", "logit_scale", "log_concentration", "extra_embedding",
+                  "ln_post", "ln_final"),
+    }[mode]
+
+    def keep(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        return any(t in name for t in head_tags)
+
+    mask = jax.tree_util.tree_map_with_path(keep, params)
+    return optax.masked, mask
+
+
 def kl_schedule(epoch: int, kl_weight: float, warmup_epochs: int) -> float:
     """Linear KL annealing (trainer.ipynb:cell 17)."""
     if warmup_epochs <= 0:
@@ -524,7 +548,14 @@ def main(argv=None):
         schedule, weight_decay=args.wd, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         grad_clip_norm=args.grad_clip_norm, skip_nonfinite=args.skip_nonfinite,
     )
-    if args.lock_image or args.lock_text:
+    if args.train_projections_only or args.freeze_backbone:
+        import optax
+
+        masked, mask = _finetune_mask(
+            params, "heads" if args.freeze_backbone else "projections")
+        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
+            lambda m: not m, mask)))
+    elif args.lock_image or args.lock_text:
         import optax
 
         masked, mask = _freeze_mask(

