@@ -121,18 +121,29 @@ def _attend(q, k, v, heads, head_dim, scale, causal):
 def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, head_dim,
                 scale, causal):
     s, w = x_ref.shape[1], x_ref.shape[2]
-    # ONE [G*S, W] matmul per projection: per-image [S, W] projs leave the MXU at M=50
-    # (measured 74 vs 134 TF/s on the same-size MLP matmuls)
-    x = x_ref[...].reshape(g_imgs * s, w)
-    q = _proj(x, wq, bq)
-    k = _proj(x, wk, bk)
-    v = _proj(x, wv, bv)
-    outs = []
+    if s <= 128 and g_imgs > 1:
+        # ONE [G*S, W] matmul per projection: per-image [S, W] projs leave the MXU at M=50
+        # (measured 74 vs 134 TF/s on the same-size MLP matmuls). At S>128 the [G,S,W] ->
+        # [G*S,W] collapse makes Mosaic's lowering pathological (ViT-B/16 compile >18 min),
+        # so larger sequences keep the per-image loop.
+        x = x_ref[...].reshape(g_imgs * s, w)
+        q = _proj(x, wq, bq)
+        k = _proj(x, wk, bk)
+        v = _proj(x, wv, bv)
+        outs = []
+        for g in range(g_imgs):
+            r = slice(g * s, (g + 1) * s)
+            outs.append(_attend(q[r], k[r], v[r], heads, head_dim, scale, causal))
+        attn = jnp.concatenate(outs, axis=0).astype(x.dtype)
+        y_ref[...] = _proj(attn, wo, bo).reshape(g_imgs, s, w)
+        return
     for g in range(g_imgs):
-        r = slice(g * s, (g + 1) * s)
-        outs.append(_attend(q[r], k[r], v[r], heads, head_dim, scale, causal))
-    attn = jnp.concatenate(outs, axis=0).astype(x.dtype)
-    y_ref[...] = _proj(attn, wo, bo).reshape(g_imgs, s, w)
+        x = x_ref[g]  # [S, W]
+        q = _proj(x, wq, bq)
+        k = _proj(x, wk, bk)
+        v = _proj(x, wv, bv)
+        attn = _attend(q, k, v, heads, head_dim, scale, causal).astype(x.dtype)
+        y_ref[g] = _proj(attn, wo, bo)
 
 
 def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
