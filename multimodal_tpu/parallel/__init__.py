@@ -1,4 +1,6 @@
 from multimodal_tpu.parallel.mesh import (
+    batch_axes,
+    create_hybrid_mesh,
     create_mesh,
     data_sharding,
     replicated_sharding,

@@ -31,16 +31,46 @@ def create_mesh(
     return Mesh(arr, axis_names)
 
 
-def data_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension over the data axis."""
-    return NamedSharding(mesh, P(axis))
+REPLICA_AXIS = "replica"
+
+
+def create_hybrid_mesh(num_slices: int, devices=None) -> Mesh:
+    """('replica', 'data') mesh for multi-slice pods: the replica axis crosses DCN (slow,
+    inter-slice), the data axis rides ICI within a slice. On real multi-slice hardware the
+    device order comes from mesh_utils.create_hybrid_device_mesh (places DCN on the outer
+    axis); elsewhere (CPU virtual meshes, single slice) a plain reshape emulates the
+    topology so the sharding program compiles identically."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % num_slices == 0, f"{n} devices not divisible into {num_slices} slices"
+    per_slice = n // num_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (num_slices, 1), devices=devices
+        )
+    except Exception:  # virtual/CPU devices carry no slice_index
+        arr = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch dimension shards over: ('replica','data') on hybrid meshes,
+    ('data',) otherwise. lax collectives accept the same tuple as axis_name."""
+    return tuple(a for a in (REPLICA_AXIS, DATA_AXIS) if a in mesh.axis_names)
+
+
+def data_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis (both axes on hybrid meshes)."""
+    return NamedSharding(mesh, P(axis if axis is not None else batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+def shard_batch(batch, mesh: Mesh, axis=None):
     """Device-put a host batch (dict of arrays) with the batch dim sharded over the mesh.
 
     Replaces the reference's per-rank .to(device, non_blocking=True) H2D copies

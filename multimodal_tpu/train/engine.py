@@ -305,17 +305,22 @@ def make_train_step(
     def step_fn(state: TrainState, batch, rng):
         if use_shard_map:
             assert mesh is not None
+            # hybrid multi-slice meshes carry a 'replica' (DCN) axis in front of 'data'
+            # (ICI); batch shards and collectives run over the full tuple
+            from multimodal_tpu.parallel.mesh import batch_axes
+
+            axes = batch_axes(mesh)
 
             def sharded(params, batch, rng):
-                grads, metrics = grads_and_metrics(params, batch, rng, DATA_AXIS)
-                grads = jax.lax.pmean(grads, DATA_AXIS)
-                metrics = jax.lax.pmean(metrics, DATA_AXIS)
+                grads, metrics = grads_and_metrics(params, batch, rng, axes)
+                grads = jax.lax.pmean(grads, axes)
+                metrics = jax.lax.pmean(metrics, axes)
                 return grads, metrics
 
             grads, metrics = jax.shard_map(
                 sharded,
                 mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS), P()),
+                in_specs=(P(), P(axes), P()),
                 out_specs=(P(), P()),
             )(state.params, batch, rng)
         else:
@@ -333,15 +338,19 @@ def make_train_step(
         return new_state, metrics
 
     jit_kwargs = {}
+    if mesh is not None:
+        from multimodal_tpu.parallel.mesh import batch_axes as _batch_axes
+
+        batch_spec = P(_batch_axes(mesh))
     if state_shardings is not None:
         assert mesh is not None and not use_shard_map
         replicated = NamedSharding(mesh, P())
-        data_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        data_sharded = NamedSharding(mesh, batch_spec)
         jit_kwargs["in_shardings"] = (state_shardings, data_sharded, replicated)
         jit_kwargs["out_shardings"] = (state_shardings, replicated)
     elif mesh is not None:
         replicated = NamedSharding(mesh, P())
-        data_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        data_sharded = NamedSharding(mesh, batch_spec)
         # single shardings act as pytree prefixes (whole state replicated, whole batch sharded)
         jit_kwargs["in_shardings"] = (replicated, data_sharded, replicated)
         jit_kwargs["out_shardings"] = (replicated, replicated)

@@ -245,6 +245,9 @@ def parse_args(args=None):
     g.add_argument("--no-set-device-rank", action="store_true", help="no-op under JAX")
     g.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() before building the mesh")
+    g.add_argument("--dcn-slices", type=int, default=1,
+                   help="multi-slice pods: hybrid ('replica','data') mesh with the replica "
+                        "axis over DCN (parallel/mesh.py:create_hybrid_mesh)")
     g.add_argument("--tensor-parallel", type=int, default=1,
                    help="model-axis size of a (data, model) mesh; params shard by the "
                         "Megatron column/row rules (parallel/tp.py)")

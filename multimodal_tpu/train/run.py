@@ -452,11 +452,16 @@ def main(argv=None):
     if tp > 1:
         from multimodal_tpu.parallel.tp import create_tp_mesh
 
+        assert args.dcn_slices <= 1, "--tensor-parallel and --dcn-slices are exclusive"
         mesh = create_tp_mesh(num_devices // tp, tp)
+    elif args.dcn_slices > 1:
+        from multimodal_tpu.parallel import create_hybrid_mesh
+
+        mesh = create_hybrid_mesh(args.dcn_slices)
     else:
         mesh = create_mesh()
-    log.info("devices: %d x %s, hosts: %d, tensor-parallel: %d", num_devices,
-             jax.devices()[0].device_kind, num_hosts, tp)
+    log.info("devices: %d x %s, hosts: %d, tensor-parallel: %d, dcn-slices: %d", num_devices,
+             jax.devices()[0].device_kind, num_hosts, tp, max(args.dcn_slices, 1))
 
     # ------------------------------------------------------------------ model
     dtype = jnp.float32 if args.precision == "fp32" else jnp.bfloat16
