@@ -55,3 +55,27 @@ def test_hybrid_mesh_matches_flat_data_parallel(use_shard_map):
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(params_a), jax.tree_util.tree_leaves(params_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ring_contrastive_over_hybrid_mesh():
+    """lax.ppermute composes with the ('replica','data') axis tuple: the ring-streamed
+    contrastive loss runs on a hybrid mesh and stays finite."""
+    mesh = create_hybrid_mesh(num_slices=2)
+    model = create_model("tiny-test")
+    params = init_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    step = make_train_step(model, tx, loss_type="clip",
+                           loss_kwargs={"contrastive_impl": "ring"},
+                           mesh=mesh, use_shard_map=True, donate=False)
+    rng = np.random.default_rng(0)
+    c = model.cfg
+    batch = shard_batch({
+        "image": rng.integers(0, 256, (16, c.vision.image_size, c.vision.image_size, 3),
+                              dtype=np.uint8),
+        "text": rng.integers(1, c.text.vocab_size - 1, (16, c.text.context_length)).astype(
+            np.int32),
+    }, mesh)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
