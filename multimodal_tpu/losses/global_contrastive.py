@@ -18,8 +18,8 @@ component. Two TPU-native forms, both exact (values AND gradients match the dens
     through ppermute natively (reverse-direction permutation in the backward pass).
 
 Both reproduce ``clip_loss``'s semantics: symmetric CE, ln(100) logit clamp, global-batch
-mean. Label smoothing is supported in the chunked form (it needs the mean log-prob, which the
-streaming pass accumulates as well).
+mean, label smoothing (the smooth term needs the mean logit, which both streaming passes
+accumulate alongside the logsumexp).
 """
 
 from __future__ import annotations
@@ -93,8 +93,6 @@ def chunked_clip_loss(
     if n % chunk:  # static shapes: shrink to a divisor
         while n % chunk:
             chunk -= 1
-    b = image_features.shape[0]
-    offset = 0 if axis_name is None else b * jax.lax.axis_index(axis_name)
     pos = scale * jnp.sum(image_features * text_features, axis=-1)
 
     loss_i = _streaming_ce(image_features, all_texts, scale, pos, chunk, label_smoothing)
@@ -113,12 +111,15 @@ def ring_clip_loss(
     *,
     normalize: bool = True,
     scale_is_log: bool = True,
+    label_smoothing: float = 0.0,
 ):
     """Exact global-batch InfoNCE with NO feature all-gather: blocks rotate over the ring.
 
     Must run inside shard_map over ``axis_name``. Per step: fold the [B, B] block of logits
     against the currently-held remote block into a streaming logsumexp, then ppermute the
-    block to the next device. W-1 ppermutes total — the all_gather's bandwidth, pipelined."""
+    block to the next device. W-1 ppermutes total — the all_gather's bandwidth, pipelined.
+    Label smoothing streams the mean-logit accumulator alongside (same identity as the
+    chunked form: smooth-NLL = lse - mean_j logits_j)."""
     if normalize:
         image_features = _l2norm(image_features.astype(jnp.float32))
         text_features = _l2norm(text_features.astype(jnp.float32))
@@ -130,24 +131,33 @@ def ring_clip_loss(
     pos = scale * jnp.sum(image_features * text_features, axis=-1)  # [B]
 
     def direction(queries, first_block):
-        """Streaming logsumexp of queries vs all rotating key blocks."""
+        """Streaming (logsumexp, sum-of-logits) of queries vs all rotating key blocks."""
 
         def body(carry, _):
-            m, s, block = carry
+            m, s, lsum, block = carry
             logits = scale * queries @ block.T  # [B, B]
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
             s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1)
+            lsum = lsum + jnp.sum(logits, axis=-1)
             block = jax.lax.ppermute(block, axis_name, perm)
-            return (m_new, s, block), None
+            return (m_new, s, lsum, block), None
 
         # carry accumulators must carry the same device-varying type as the rotating block
         # (shard_map manual-axes typing); derive them from the varying queries
         zero = jnp.zeros_like(queries[:, 0])
-        init = (zero - jnp.inf, zero, first_block)
-        (m, s, _), _ = jax.lax.scan(body, init, None, length=world)
-        return m + jnp.log(s)  # [B]
+        init = (zero - jnp.inf, zero, zero, first_block)
+        (m, s, lsum, _), _ = jax.lax.scan(body, init, None, length=world)
+        return m + jnp.log(s), lsum  # [B], [B]
 
-    lse_i = direction(image_features, text_features)  # img rows vs all text blocks
-    lse_t = direction(text_features, image_features)
-    loss = 0.5 * ((lse_i - pos).mean() + (lse_t - pos).mean())
+    lse_i, lsum_i = direction(image_features, text_features)  # img rows vs all text blocks
+    lse_t, lsum_t = direction(text_features, image_features)
+    nll_i = lse_i - pos
+    nll_t = lse_t - pos
+    if label_smoothing > 0.0:
+        n = world * b
+        smooth_i = lse_i - lsum_i / n
+        smooth_t = lse_t - lsum_t / n
+        nll_i = (1.0 - label_smoothing) * nll_i + label_smoothing * smooth_i
+        nll_t = (1.0 - label_smoothing) * nll_t + label_smoothing * smooth_t
+    loss = 0.5 * (nll_i.mean() + nll_t.mean())
     return jax.lax.pmean(loss, axis_name)

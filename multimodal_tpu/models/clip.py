@@ -380,8 +380,8 @@ class VariationalCLIP(nn.Module):
             )
         return jnp.exp(raw)  # Gaussian mode: per-dim variance
 
-    def encode_image(self, images):
-        x = self.visual_trunk(self.visual_stem(images))
+    def encode_image(self, images, train: bool = False):
+        x = self.visual_trunk(self.visual_stem(images, train=train))
         mean = self.ln_post(x[:, 0]).astype(jnp.float32) @ self.mean_image_projection
         conc_tok = self.ln_post(x[:, -1]).astype(jnp.float32) @ self.var_image_projection
         scale = (
@@ -398,8 +398,8 @@ class VariationalCLIP(nn.Module):
         )
         return mean, self._concentration(conc_tok, scale)
 
-    def __call__(self, images, tokens):
-        image_mean, image_conc = self.encode_image(images)
+    def __call__(self, images, tokens, train: bool = False):
+        image_mean, image_conc = self.encode_image(images, train=train)
         text_mean, text_conc = self.encode_text(tokens)
         return {
             "image_mean": image_mean,

@@ -52,6 +52,29 @@ def tangent_project(grad, mu):
     return grad - radial * mu
 
 
+@jax.custom_vjp
+def riemannian_grad(mu):
+    """Identity whose backward projects the cotangent onto the sphere's tangent space at mu.
+
+    The JAX equivalent of the reference's ``image_means.register_hook(riemannian_gradient_hook)``
+    (Notebooks/trainer.ipynb train_epoch): applied to the (unit-norm) mean activations inside
+    the loss, it makes every upstream gradient respect the spherical constraint without
+    touching the forward values.
+    """
+    return mu
+
+
+def _riemannian_grad_fwd(mu):
+    return mu, mu
+
+
+def _riemannian_grad_bwd(mu, g):
+    return (tangent_project(g, mu),)
+
+
+riemannian_grad.defvjp(_riemannian_grad_fwd, _riemannian_grad_bwd)
+
+
 def exponential_map(mu, v):
     """Exponential map on the unit sphere: walk from mu along tangent vector v."""
     norm = jnp.linalg.norm(v, axis=-1, keepdims=True)

@@ -105,7 +105,8 @@ def make_loss_fn(
             if impl == "ring" and axis_name is not None:
                 from multimodal_tpu.losses.global_contrastive import ring_clip_loss
 
-                loss = ring_clip_loss(fi, ft, ls, axis_name, normalize=False, **kw)
+                loss = ring_clip_loss(fi, ft, ls, axis_name, normalize=False,
+                                      label_smoothing=label_smoothing, **kw)
             elif impl == "chunked":
                 from multimodal_tpu.losses.global_contrastive import chunked_clip_loss
 
@@ -166,11 +167,23 @@ def make_loss_fn(
 
     if loss_type == "vclip":
         dist_type = kw.pop("distribution_type", "power_spherical")
+        # Riemannian mean-grad projection (trainer.ipynb train_epoch's register_hook):
+        # gate on per-epoch schedule from the CLI (on after KL warmup completes)
+        riemannian = kw.pop("riemannian", False)
 
         def loss_fn(params, batch, rng, axis_name=None):
-            out = model.apply(params, batch_images(batch), batch["text"])
+            rng, dropout_rng = jax.random.split(rng)
+            out = model.apply(
+                params, batch_images(batch), batch["text"], train=True,
+                rngs={"patch_dropout": dropout_rng},
+            )
             mu_i = l2_normalize(out["image_mean"])
             mu_t = l2_normalize(out["text_mean"])
+            if riemannian:
+                from multimodal_tpu.ops.sphere import riemannian_grad
+
+                mu_i = riemannian_grad(mu_i)
+                mu_t = riemannian_grad(mu_t)
             conc_i, conc_t = out["image_concentration"], out["text_concentration"]
             if dist_type == "power_spherical":
                 di, dt = PowerSpherical(mu_i, conc_i), PowerSpherical(mu_t, conc_t)
@@ -216,32 +229,41 @@ def _accum_grads(loss_fn, params, batch, rng, accum_steps: int, axis_name):
     return grads, metrics
 
 
-def _feature_cached_grads(model, params, batch, logit_scale_loss_kwargs, accum_steps: int, axis_name):
+def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
+                          accum_steps: int, axis_name):
     """OpenCLIP feature-cached accumulation (train.py:119-163), exact full-batch gradients.
 
     Only defined for the plain CLIP InfoNCE loss (as in the reference). Phase 1: stop-grad
     features for every micro-batch. Phase 2: per micro-batch, re-forward with grad, splice
-    into the cached feature bank, full-bank loss, accumulate grads."""
+    into the cached feature bank, full-bank loss, accumulate grads. Both phases run in train
+    mode with the SAME per-micro-batch dropout rng, so the re-forwarded features equal the
+    cached ones and the accumulated gradients stay exact."""
     kw = dict(logit_scale_loss_kwargs or {})
     label_smoothing = kw.pop("label_smoothing", 0.0)
+    kw.pop("local_loss", None)
+    kw.pop("contrastive_impl", None)
+    kw.pop("chunk_size", None)
     micro = jax.tree_util.tree_map(
         lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]), batch
     )
+    rngs = jax.random.split(rng, accum_steps)
 
-    def encode(p, mb):
-        out = model.apply(p, batch_images(mb), mb["text"])
+    def encode(p, mb, r):
+        out = model.apply(p, batch_images(mb), mb["text"], train=True,
+                          rngs={"patch_dropout": r})
         return out["image_features"], out["text_features"], out["logit_scale"]
 
-    def phase1(carry, mb):
-        fi, ft, _ = encode(params, mb)
+    def phase1(carry, xs):
+        mb, r = xs
+        fi, ft, _ = encode(params, mb, r)
         return carry, (fi, ft)
 
-    _, (bank_i, bank_t) = jax.lax.scan(phase1, None, micro)  # [k, Bm, E]
+    _, (bank_i, bank_t) = jax.lax.scan(phase1, None, (micro, rngs))  # [k, Bm, E]
     bank_i = jax.lax.stop_gradient(bank_i)
     bank_t = jax.lax.stop_gradient(bank_t)
 
-    def loss_for_micro(p, mb, idx):
-        fi, ft, ls = encode(p, mb)
+    def loss_for_micro(p, mb, r, idx):
+        fi, ft, ls = encode(p, mb, r)
         all_i = jax.lax.dynamic_update_index_in_dim(bank_i, fi, idx, 0).reshape(
             -1, fi.shape[-1]
         )
@@ -256,13 +278,13 @@ def _feature_cached_grads(model, params, batch, logit_scale_loss_kwargs, accum_s
 
     def phase2(carry, xs):
         g_acc, l_acc = carry
-        mb, idx = xs
-        (loss, ls), g = jax.value_and_grad(loss_for_micro, has_aux=True)(params, mb, idx)
+        mb, r, idx = xs
+        (loss, ls), g = jax.value_and_grad(loss_for_micro, has_aux=True)(params, mb, r, idx)
         return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + loss), ls
 
     zero = jax.tree_util.tree_map(jnp.zeros_like, params)
     (g_sum, loss_sum), ls = jax.lax.scan(
-        phase2, (zero, 0.0), (micro, jnp.arange(accum_steps))
+        phase2, (zero, 0.0), (micro, rngs, jnp.arange(accum_steps))
     )
     metrics = {"loss": loss_sum / accum_steps, "logit_scale": ls[-1]}
     return g_sum, metrics  # grads are exact full-batch grads; no averaging (sum of chain parts)
@@ -294,7 +316,8 @@ def make_train_step(
     def grads_and_metrics(params, batch, rng, axis_name):
         if feature_cached_accum and accum_steps > 1:
             assert loss_type == "clip", "feature-cached accumulation is a CLIP-loss feature"
-            return _feature_cached_grads(model, params, batch, loss_kwargs, accum_steps, axis_name)
+            return _feature_cached_grads(model, params, batch, rng, loss_kwargs,
+                                         accum_steps, axis_name)
         if accum_steps > 1:
             return _accum_grads(loss_fn, params, batch, rng, accum_steps, axis_name)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -216,7 +216,9 @@ def parse_args(args=None):
     g.add_argument("--retrieval-frequency", type=int, default=1)
     # second option string = the reference's spelling of the same flag (params.py:441-535)
     for names in [["imagenet-val"], ["imagenet-v2"], ["imagenet-s", "imagenet-sketch"],
-                  ["imagenet-a"], ["imagenet-o"], ["imagenet-r"], ["cifar10"], ["cifar100"],
+                  ["imagenet-a"], ["imagenet-o"], ["imagenet-r"],
+                  ["imagenet-c"],  # corruption split (zero_shot.py:118-120, data.py "c")
+                  ["cifar10"], ["cifar100"],
                   ["flowers", "flowers-102"], ["food", "food-101"],
                   ["stanford-cars", "stanford"], ["coco-retrieval", "ms-coco"],
                   ["flickr-retrieval", "flickr"]]:
@@ -239,6 +241,10 @@ def parse_args(args=None):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--dist-backend", default=None,
                    help="accepted for recipe compat; JAX uses its own collectives")
+    g.add_argument("--dist-url", default="env://",
+                   help="multihost coordinator: tcp://host:port with RANK/WORLD_SIZE env "
+                        "(the reference's convention, distributed.py:63-137) or env:// "
+                        "for JAX cluster auto-detection")
     g.add_argument("--horovod", action="store_true",
                    help="accepted for recipe compat; no-op under JAX")
     g.add_argument("--ddp-static-graph", action="store_true", help="no-op under JAX")
@@ -251,6 +257,11 @@ def parse_args(args=None):
     g.add_argument("--tensor-parallel", type=int, default=1,
                    help="model-axis size of a (data, model) mesh; params shard by the "
                         "Megatron column/row rules (parallel/tp.py)")
+    g.add_argument("--use-shard-map", choices=["auto", "on", "off"], default="auto",
+                   help="compute the loss inside shard_map (local_loss form: local@global "
+                        "logits with axis-offset labels, loss.py:109-117, never a global "
+                        "BxB matrix per chip). auto = on when --contrastive-impl ring "
+                        "(ppermute needs manual collectives) else GSPMD jit")
 
     ns = parser.parse_args(args)
 
@@ -265,4 +276,17 @@ def parse_args(args=None):
         ns.loss = "clip"
     if ns.variational:
         ns.loss = "vclip"
+
+    # resolve the shard_map mode: ring streaming needs manual collectives (ppermute)
+    ns.use_shard_map = {
+        "auto": ns.contrastive_impl == "ring",
+        "on": True,
+        "off": False,
+    }[ns.use_shard_map]
+    if ns.contrastive_impl == "ring" and not ns.use_shard_map:
+        parser.error("--contrastive-impl ring requires shard_map "
+                     "(drop --use-shard-map off)")
+    if ns.use_shard_map and ns.tensor_parallel > 1:
+        parser.error("--use-shard-map and --tensor-parallel are exclusive "
+                     "(TP shards params via GSPMD propagation)")
     return ns

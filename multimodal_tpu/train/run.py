@@ -137,11 +137,72 @@ def _finetune_mask(params, mode: str):
     return optax.masked, mask
 
 
+def init_multihost(dist_url: str | None = None) -> None:
+    """jax.distributed bootstrap (main/distributed.py:63-137 init_distributed_device):
+    an explicit ``tcp://host:port`` coordinator with the reference's RANK/WORLD_SIZE env
+    convention, or ``env://``/None for JAX's cluster auto-detection (TPU pods, SLURM)."""
+    kw = {}
+    if dist_url and dist_url != "env://":
+        addr = dist_url[len("tcp://"):] if dist_url.startswith("tcp://") else dist_url
+        kw = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("WORLD_SIZE", "1")),
+            process_id=int(os.environ.get("RANK", "0")),
+        )
+    jax.distributed.initialize(**kw)
+
+
+def resolve_experiment_name(args, num_hosts: int) -> str:
+    """Rank-0 decides the timestamped name, every host agrees (run.py:96-98
+    broadcast_object -> multihost_utils.broadcast_one_to_all)."""
+    if args.name is not None:
+        return args.name
+    date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    if num_hosts > 1:
+        from jax.experimental import multihost_utils
+
+        date_str = multihost_utils.broadcast_one_to_all(
+            np.frombuffer(date_str.encode().ljust(32), dtype=np.uint8)
+        ).tobytes().decode().strip()
+    return f"{args.model}-{args.loss}-{date_str}"
+
+
+def build_train_step(args, model, tx, mesh, state_shardings=None, epoch: int = 0):
+    """The production step builder: resolves per-epoch loss kwargs (KL annealing, the
+    riemannian flip) and the shard_map mode from the parsed CLI args. Module-level so
+    tests can build the exact step a real run uses."""
+    kw = _loss_kwargs(args)
+    if args.loss == "vclip":
+        if args.kl_warmup_epochs:
+            kw = dict(kw, kl_weight=kl_schedule(epoch, args.kl_weight,
+                                                args.kl_warmup_epochs))
+        # Riemannian mean-grad projection after KL warmup completes
+        # (trainer.ipynb train_epoch: epoch > NUM_EPOCHS_TO_FULL_KL)
+        if args.distribution_type != "normal":
+            kw = dict(kw, riemannian=epoch > args.kl_warmup_epochs)
+    return make_train_step(
+        model, tx, loss_type=args.loss, loss_kwargs=kw, mesh=mesh,
+        use_shard_map=args.use_shard_map,
+        accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
+        donate=True, state_shardings=state_shardings,
+    )
+
+
 def kl_schedule(epoch: int, kl_weight: float, warmup_epochs: int) -> float:
-    """Linear KL annealing (trainer.ipynb:cell 17)."""
+    """Staged KL annealing (trainer.ipynb kl_schedule, NUM_EPOCHS_TO_FULL_KL semantics):
+    ZERO for the first warmup_epochs-1 epochs — vclip_loss then falls back to mean-point
+    InfoNCE, so contrastive structure forms before any sampling noise — then a linear ramp
+    from kl_weight/2 to kl_weight by epoch 2*warmup_epochs. This phase ordering (means
+    first, sampling+KL second, riemannian hook after) is what keeps MC-sampled
+    concentrations off the clamp floor."""
     if warmup_epochs <= 0:
         return kl_weight
-    return kl_weight * min(1.0, (epoch + 1) / warmup_epochs)
+    e = epoch + 1
+    if e < warmup_epochs:
+        return 0.0
+    if e >= 2 * warmup_epochs:
+        return kl_weight
+    return kl_weight * e / (2.0 * warmup_epochs)
 
 
 def _start_remote_sync(local_dir: str, remote_dir: str, frequency_s: int) -> threading.Event:
@@ -219,6 +280,7 @@ ZERO_SHOT_DATASETS = {  # CLI flag -> metadata class-table key (zero_shot.py:65-
     "imagenet_a": "imagenet-a",
     "imagenet_o": "imagenet-o",
     "imagenet_r": "imagenet-r",
+    "imagenet_c": "imagenet",  # corruption set shares the ImageNet tables (zero_shot.py:118)
     "cifar10": "cifar10",
     "cifar100": "cifar100",
     "flowers": "flowers102",
@@ -229,8 +291,11 @@ ZERO_SHOT_DATASETS = {  # CLI flag -> metadata class-table key (zero_shot.py:65-
 
 def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
     """Zero-shot classification over every eval set whose path flag is given
-    (main/zero_shot.py:51-146: build template-averaged classifier, batched top-1/5)."""
-    from multimodal_tpu.data.datasets import LabeledImageFolder
+    (main/zero_shot.py:51-146: build template-averaged classifier, batched top-1/5).
+    Paths in the stock torchvision archive layouts (CIFAR pickle batches, Food-101,
+    Flowers-102 .mat, Stanford Cars devkit — main/data.py:123-257) are read natively;
+    anything else is treated as folder-per-class."""
+    from multimodal_tpu.data.eval_sets import open_eval_dataset
     from multimodal_tpu.eval.metadata import classnames, templates
     from multimodal_tpu.eval.zero_shot import build_zero_shot_classifier, zero_shot_eval
     from multimodal_tpu.train.engine import batch_images
@@ -258,8 +323,8 @@ def zero_shot_eval_all(model, params, args, mesh=None) -> dict:
         path = active.get(flag)
         if not path:
             continue
-        ds = LabeledImageFolder(path, batch_size=args.batch_size,
-                                image_size=model.cfg.vision.image_size)
+        ds = open_eval_dataset(flag, path, batch_size=args.batch_size,
+                               image_size=model.cfg.vision.image_size)
         try:
             names = classnames(meta_key)
             if len(names) != len(ds.classes):  # folder set != canonical table
@@ -322,23 +387,23 @@ def linear_probe_eval(model, params, args) -> dict:
     folder-per-class train/val pair, fit the logistic head, report accuracy."""
     if getattr(args, "variational", False) or not getattr(args, "linear_probe_train", None):
         return {}
-    from multimodal_tpu.data.datasets import LabeledImageFolder
+    from multimodal_tpu.data.eval_sets import open_eval_dataset
     from multimodal_tpu.eval.linear_probe import linear_probe_metrics
     from multimodal_tpu.inference import Embedder
 
     emb = Embedder(model, params, batch_size=args.batch_size)
 
-    def featurize(root):
-        ds = LabeledImageFolder(root, batch_size=args.batch_size,
-                                image_size=model.cfg.vision.image_size)
+    def featurize(root, split):
+        ds = open_eval_dataset("linear_probe", root, batch_size=args.batch_size,
+                               image_size=model.cfg.vision.image_size, split=split)
         feats, labels = [], []
         for images, lab in ds:
             feats.append(emb.embed_images(images))
             labels.append(lab)
         return np.concatenate(feats), np.concatenate(labels), len(ds.classes)
 
-    xtr, ytr, n_classes = featurize(args.linear_probe_train)
-    xte, yte, _ = featurize(args.linear_probe_val or args.linear_probe_train)
+    xtr, ytr, n_classes = featurize(args.linear_probe_train, "train")
+    xte, yte, _ = featurize(args.linear_probe_val or args.linear_probe_train, "test")
     metrics = linear_probe_metrics(xtr, ytr, xte, yte, n_classes,
                                    epochs=args.linear_probe_epochs)
     log.info("linear probe: %s", metrics)
@@ -400,19 +465,11 @@ def main(argv=None):
     args = parse_args(argv)
 
     if args.multihost:
-        jax.distributed.initialize()
+        init_multihost(getattr(args, "dist_url", None))
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
     # experiment naming: rank-0 decides, all hosts agree (run.py:96-98 broadcast_object)
-    if args.name is None:
-        date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
-        if num_hosts > 1:
-            from jax.experimental import multihost_utils
-
-            date_str = multihost_utils.broadcast_one_to_all(
-                np.frombuffer(date_str.encode().ljust(32), dtype=np.uint8)
-            ).tobytes().decode().strip()
-        args.name = f"{args.model}-{args.loss}-{date_str}"
+    args.name = resolve_experiment_name(args, num_hosts)
     args.log_dir = os.path.join(args.logs, args.name)
     os.makedirs(args.log_dir, exist_ok=True)
     if args.copy_codebase and host_id == 0:
@@ -607,7 +664,6 @@ def main(argv=None):
                                        args.remote_sync_frequency)
 
     # ----------------------------------------------------------------- loops
-    loss_kwargs = _loss_kwargs(args)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val/zero-shot/retrieval), exit
@@ -623,22 +679,19 @@ def main(argv=None):
         return 0
 
     def build_step(epoch: int):
-        kw = loss_kwargs
-        if args.loss == "vclip" and args.kl_warmup_epochs:
-            kw = dict(kw, kl_weight=kl_schedule(epoch, args.kl_weight,
-                                                args.kl_warmup_epochs))
-        return make_train_step(
-            model, tx, loss_type=args.loss, loss_kwargs=kw, mesh=mesh,
-            accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
-            donate=True, state_shardings=state_shardings,
-        )
+        return build_train_step(args, model, tx, mesh, state_shardings, epoch)
 
-    # the step is compiled once; only KL annealing (a changed constant) forces a rebuild
-    rebuild_every_epoch = args.loss == "vclip" and bool(args.kl_warmup_epochs)
+    # the step is compiled once; only KL annealing / the riemannian flip (changed
+    # constants) force a rebuild — the ramp ends at 2*kl_warmup_epochs, the tangent
+    # projection switches on at kl_warmup_epochs + 1
+    rebuild_every_epoch = args.loss == "vclip" and (
+        bool(args.kl_warmup_epochs) or args.distribution_type != "normal"
+    )
     step_fn = build_step(start_epoch)
     for epoch in range(start_epoch, args.epochs):
         data_train.set_epoch(epoch)
-        if rebuild_every_epoch and epoch != start_epoch and epoch <= args.kl_warmup_epochs:
+        if (rebuild_every_epoch and epoch != start_epoch
+                and epoch <= 2 * args.kl_warmup_epochs + 1):
             step_fn = build_step(epoch)
         t0 = time.perf_counter()
         state, losses, n_steps, rng = train_one_epoch(

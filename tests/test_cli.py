@@ -231,3 +231,70 @@ def test_variational_freeze_backbone_mask():
     assert any("log_concentration_scale" in n for n in trainables)
     assert not any("resblock" in n for n in trainables)
     assert not any("patch_conv" in n for n in trainables)
+
+
+def test_cli_ring_step_matches_dense(tmp_path):
+    """--contrastive-impl ring must actually take effect in a production run: the
+    run.py-built step (use_shard_map auto-resolves on) computes the ring-streamed loss,
+    which is exact — one step must match the dense GSPMD step bit-for-bit-ish."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+    from multimodal_tpu.train.engine import TrainState
+    from multimodal_tpu.train.optimizer import make_optimizer
+    from multimodal_tpu.train.params import parse_args
+    from multimodal_tpu.train.run import build_train_step
+
+    mesh = create_mesh()
+    model = create_model("tiny-test")
+    params = init_params(model)
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    c = model.cfg
+    batch = shard_batch(
+        {
+            "image": np.asarray(jax.random.normal(
+                k1, (16, c.vision.image_size, c.vision.image_size, 3))),
+            "text": np.asarray(jax.random.randint(
+                k2, (16, c.text.context_length), 1, c.text.vocab_size - 1)),
+        },
+        mesh,
+    )
+
+    def one_step(extra):
+        args = parse_args(BASE + ["--epochs", "1", "--logs", str(tmp_path)] + extra)
+        assert args.use_shard_map == ("ring" in extra)
+        tx = make_optimizer(1e-3)
+        # fresh copies: the production step donates its state, and device_put of an
+        # already-placed tree aliases rather than copies
+        fresh = jax.tree_util.tree_map(jnp.array, params)
+        state = jax.device_put(TrainState.create(fresh, tx), replicated_sharding(mesh))
+        step = build_train_step(args, model, tx, mesh)
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["loss"])
+
+    dense = one_step([])
+    ring = one_step(["--contrastive-impl", "ring"])
+    np.testing.assert_allclose(ring, dense, rtol=1e-5)
+
+
+def test_cli_ring_rejects_shard_map_off():
+    from multimodal_tpu.train.params import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(BASE + ["--contrastive-impl", "ring", "--use-shard-map", "off"])
+    with pytest.raises(SystemExit):
+        parse_args(BASE + ["--use-shard-map", "on", "--tensor-parallel", "2"])
+
+
+def test_cli_train_ring_end_to_end(tmp_path):
+    """Full synthetic CLI run with the ring loss over the 8-way mesh."""
+    rc = main(BASE + [
+        "--epochs", "1", "--logs", str(tmp_path), "--name", "ring",
+        "--contrastive-impl", "ring", "--label-smoothing", "0.1",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "ring" / "results.jsonl")]
+    assert np.isfinite(records[-1]["loss"])

@@ -107,3 +107,14 @@ def test_ring_gradients_match_dense_on_mesh(mesh):
             np.asarray(gr), np.asarray(gd), atol=2e-6, rtol=1e-4,
             err_msg=f"grad {name}",
         )
+
+
+def test_ring_label_smoothing_matches_dense_on_mesh(mesh):
+    img, txt = _features(6)
+    scale = jnp.asarray(1.5)
+    dense = float(clip_loss(img, txt, scale, label_smoothing=0.1))
+    ring = _sharded(
+        lambda i, t, s: ring_clip_loss(i, t, s, "data", label_smoothing=0.1),
+        mesh, img, txt, scale,
+    )
+    np.testing.assert_allclose(ring, dense, rtol=1e-5)

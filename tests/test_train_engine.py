@@ -210,3 +210,62 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_vclip_mc_riemannian_concentration_stays_off_floor():
+    """The reference's vCLIP phase ordering (trainer.ipynb kl_schedule +
+    riemannian_gradient_hook): epochs below NUM_EPOCHS_TO_FULL_KL run mean-only (kl weight
+    0 -> vclip_loss falls back to point InfoNCE), then MC sampling + KL + the tangent
+    projection switch on. After the switch, concentrations must stay OFF the clamp floor
+    instead of collapsing — the round-1 failure mode was sampling from step 0."""
+    model = create_model("tiny-test", variational=True)
+    params = init_params(model)
+    tx = make_optimizer(make_schedule("const", 3e-3, 0, 100))
+    state = TrainState.create(params, tx)
+    batch = make_batch(model, batch=8)
+
+    # phase A — mean-only warmup (kl_schedule returns 0 below the warmup threshold)
+    warm = make_train_step(
+        model, tx, loss_type="vclip",
+        loss_kwargs={"num_samples": 4, "kl_weight": 0.0}, donate=False,
+    )
+    for i in range(20):
+        state, metrics = warm(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["total_loss"]))
+
+    # phase B — MC sampling + KL + riemannian projection (post-warmup regime)
+    step = make_train_step(
+        model, tx, loss_type="vclip",
+        loss_kwargs={"num_samples": 4, "kl_weight": 0.01, "riemannian": True,
+                     "var_reg_weight": 0.1},
+        donate=False,
+    )
+    trace = []
+    for i in range(45):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        assert np.isfinite(float(metrics["total_loss"]))
+        trace.append(float(metrics["mean_image_concentration"]))
+    final = trace[-1]
+    floor = model.vcfg.min_concentration
+    # equilibrates well off the clamp floor (measured ~200 vs floor 10) ...
+    assert final > floor * 3.0, trace[::5]
+    # ... and has stabilized: the last 15 steps move < 30%, i.e. no ongoing collapse
+    assert final > 0.7 * trace[-15], trace[::5]
+
+
+def test_riemannian_grad_is_tangent():
+    """riemannian_grad's backward must return tangent cotangents: g_out . mu == 0."""
+    from multimodal_tpu.ops.sphere import l2_normalize, riemannian_grad
+
+    mu = l2_normalize(jax.random.normal(jax.random.PRNGKey(0), (4, 8)))
+    v = jax.random.normal(jax.random.PRNGKey(1), (8,))
+
+    def loss(mu):
+        m = riemannian_grad(mu)
+        return jnp.sum(m @ v)  # upstream grad = v broadcast, generally NOT tangent
+
+    g = jax.grad(loss)(mu)
+    radial = np.asarray(jnp.sum(g * mu, axis=-1))
+    np.testing.assert_allclose(radial, 0.0, atol=1e-6)
+    # forward is the identity
+    np.testing.assert_allclose(np.asarray(riemannian_grad(mu)), np.asarray(mu))
