@@ -85,3 +85,30 @@ def test_visualization_writers(tmp_path):
     p4 = plot_training_metrics(res.history, str(tmp_path / "tm.png"))
     for p in (p1, p2, p3, p4):
         assert os.path.getsize(p) > 5000  # a real rendered figure, not an empty file
+
+
+def test_visualize_mixture_model_full_suite(tmp_path):
+    """The complete reference figure suite (papers-1-and-2/visualization.py:452-540)
+    renders from a fitted mixture: parameters, PCA-2D, 3-D, similarity, assignments,
+    entropies, comprehensive, convergence."""
+    from multimodal_tpu.research import fit_von_mises_fisher_mixture
+    from multimodal_tpu.research.visualization import visualize_mixture_model
+
+    rng = np.random.default_rng(1)
+    x = np.concatenate([
+        rng.normal([3, 0, 0, 0], 0.3, (60, 4)),
+        rng.normal([0, 3, 0, 0], 0.3, (60, 4)),
+        rng.normal([0, 0, 3, 0], 0.3, (60, 4)),
+    ])
+    x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    em = fit_von_mises_fisher_mixture(x, 3, max_iter=30)
+    paths = visualize_mixture_model(em, x, output_dir=str(tmp_path / "viz"))
+    names = {os.path.basename(p) for p in paths}
+    assert names == {
+        "component_parameters.png", "mean_directions_2d_pca.png",
+        "similarity_matrix.png", "component_entropies.png",
+        "comprehensive_visualization.png", "mean_directions_3d.png",
+        "data_assignments.png", "convergence.png",
+    }
+    for p in paths:
+        assert os.path.getsize(p) > 5000, p
