@@ -13,6 +13,7 @@ benchmark' until a measured reference run exists. vs_baseline = ours_per_chip / 
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -20,7 +21,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"),
+)
+
 REFERENCE_SAMPLES_PER_S_PER_GPU = 1100.0  # OpenCLIP ViT-B/32 on A100 (see module docstring)
+
+# peak dense bf16 FLOP/s per chip, by jax device_kind (public TPU spec sheets)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _tower_flops(seq: int, width: int, layers: int) -> float:
+    """Forward FLOPs for one transformer tower pass over ``seq`` tokens (MACs x 2):
+    per token/layer qkv 6W^2 + scores 2SW + attn@V 2SW + out-proj 2W^2 + MLP(x4) 16W^2."""
+    per_token_layer = 24.0 * width * width + 4.0 * seq * width
+    return layers * seq * per_token_layer
+
+
+def train_flops_per_sample(cfg) -> float:
+    """Analytic training FLOPs per (image, text) pair: forward + backward ~= 3x forward
+    (standard rule: bwd does ~2x fwd matmul work). Includes patch/text embed and the
+    final projections; ignores softmax/layernorm/loss (sub-1%)."""
+    v, t = cfg.vision, cfg.text
+    seq_v = (v.image_size // v.patch_size) ** 2 + 1
+    fwd = _tower_flops(seq_v, v.width, v.layers)
+    fwd += seq_v * (v.patch_size * v.patch_size * 3) * v.width * 2  # patch embed
+    fwd += v.width * cfg.embed_dim * 2  # image projection
+    fwd += _tower_flops(t.context_length, t.width, t.layers)
+    fwd += t.context_length * t.width * 2  # token embed gather ~ negligible, kept for form
+    fwd += t.width * cfg.embed_dim * 2  # text projection
+    return 3.0 * fwd
 
 
 def main():
@@ -90,23 +129,26 @@ def main():
     samples_per_s = batch / step_time
     per_chip = samples_per_s / n_chips
     metrics = {"loss": loss_val}
-    dt = step_time * steps
+    flops = train_flops_per_sample(model.cfg)
+    peak = PEAK_FLOPS.get(dev.device_kind)
+    mfu = (flops * per_chip / peak) if peak else None
     print(
         f"[bench] {step_time*1e3:.2f} ms/step -> {samples_per_s:.1f} samples/s "
-        f"({per_chip:.1f}/chip), loss={metrics['loss']:.4f}",
+        f"({per_chip:.1f}/chip), loss={metrics['loss']:.4f}, "
+        f"{flops/1e9:.1f} GFLOP/sample"
+        + (f", MFU={mfu*100:.1f}%" if mfu is not None else ""),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"clip_{args.model.lower().replace('-', '')}"
-                          "_train_samples_per_s_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_S_PER_GPU, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"clip_{args.model.lower().replace('-', '')}"
+                  "_train_samples_per_s_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_SAMPLES_PER_S_PER_GPU, 4),
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
