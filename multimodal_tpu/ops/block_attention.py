@@ -80,10 +80,13 @@ def _proj(x, w_ref, b_ref):
     return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
 
 
-def _stacked_probs(q, k, heads, head_dim, scale, causal):
+def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
     """All heads' softmax probabilities as ONE [H*S, S] f32 array: tiny per-head logit dots
     write into a stacked buffer so the 5-pass softmax runs vectorized once instead of H
-    times (the per-head [S,S] softmaxes were the kernel's hot spot at S=50)."""
+    times (the per-head [S,S] softmaxes were the kernel's hot spot at S=50).
+
+    kv_len < S marks the tail keys as padding (the tile-alignment pad of the large-S
+    whole-group path) and excludes them from the softmax."""
     s = q.shape[0]
     rows = []
     for h in range(heads):
@@ -93,21 +96,25 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal):
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ))
     logits = jnp.concatenate(rows, axis=0) * scale  # [H*S, S]
-    if causal:
-        # stacked causal mask built directly at [H*S, S] (tiling a bool vector is not a
+    masked = causal or (kv_len is not None and kv_len < s)
+    if masked:
+        # stacked mask built directly at [H*S, S] (tiling a bool vector is not a
         # legal vreg cast in Mosaic)
         row = jax.lax.broadcasted_iota(jnp.int32, (heads * s, s), 0) % s
         col = jax.lax.broadcasted_iota(jnp.int32, (heads * s, s), 1)
-        logits = jnp.where(col <= row, logits, NEG_INF)
+        keep = (col <= row) if causal else jnp.full(logits.shape, True)
+        if kv_len is not None and kv_len < s:
+            keep = jnp.logical_and(keep, col < kv_len)
+        logits = jnp.where(keep, logits, NEG_INF)
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _attend(q, k, v, heads, head_dim, scale, causal):
+def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
     """Per-image attention on [S, W]-packed heads; returns [S, W] pre-projection output."""
     s = q.shape[0]
-    p = _stacked_probs(q, k, heads, head_dim, scale, causal)
+    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len)
     outs = []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -119,13 +126,14 @@ def _attend(q, k, v, heads, head_dim, scale, causal):
 
 
 def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, head_dim,
-                scale, causal):
+                scale, causal, kv_len=None, group_proj=True):
     s, w = x_ref.shape[1], x_ref.shape[2]
-    if s <= 128 and g_imgs > 1:
+    if group_proj and g_imgs > 1:
         # ONE [G*S, W] matmul per projection: per-image [S, W] projs leave the MXU at M=50
-        # (measured 74 vs 134 TF/s on the same-size MLP matmuls). At S>128 the [G,S,W] ->
-        # [G*S,W] collapse makes Mosaic's lowering pathological (ViT-B/16 compile >18 min),
-        # so larger sequences keep the per-image loop.
+        # (measured 74 vs 134 TF/s on the same-size MLP matmuls). At S>128 the collapse
+        # requires the 16-aligned sequence pad (block_attention wrapper): the unaligned
+        # [G,197,W] -> [G*197,W] merge sent Mosaic's lowering pathological (ViT-B/16
+        # compile >18 min); at S_pad=208 it is a free view.
         x = x_ref[...].reshape(g_imgs * s, w)
         q = _proj(x, wq, bq)
         k = _proj(x, wk, bk)
@@ -133,7 +141,7 @@ def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, 
         outs = []
         for g in range(g_imgs):
             r = slice(g * s, (g + 1) * s)
-            outs.append(_attend(q[r], k[r], v[r], heads, head_dim, scale, causal))
+            outs.append(_attend(q[r], k[r], v[r], heads, head_dim, scale, causal, kv_len))
         attn = jnp.concatenate(outs, axis=0).astype(x.dtype)
         y_ref[...] = _proj(attn, wo, bo).reshape(g_imgs, s, w)
         return
@@ -142,13 +150,13 @@ def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, 
         q = _proj(x, wq, bq)
         k = _proj(x, wk, bk)
         v = _proj(x, wv, bv)
-        attn = _attend(q, k, v, heads, head_dim, scale, causal).astype(x.dtype)
+        attn = _attend(q, k, v, heads, head_dim, scale, causal, kv_len).astype(x.dtype)
         y_ref[g] = _proj(attn, wo, bo)
 
 
 def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                 dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, *, g_imgs, heads, head_dim,
-                scale, causal):
+                scale, causal, kv_len=None):
     s, w = x_ref.shape[1], x_ref.shape[2]
     # whole-group [G*S, W] projections/recompute (see _fwd_kernel MXU note)
     x_all = x_ref[...].reshape(g_imgs * s, w)
@@ -165,7 +173,7 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
     for g in range(g_imgs):
         r = slice(g * s, (g + 1) * s)
         q, k, v, do = q_all[r], k_all[r], v_all[r], do_all[r]
-        p = _stacked_probs(q, k, heads, head_dim, scale, causal)  # [H*S, S]
+        p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len)  # [H*S, S]
         attn_parts, dv_parts, dp_rows = [], [], []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -217,7 +225,7 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
 
 def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                       dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, *, g_imgs, heads,
-                      head_dim, scale, causal):
+                      head_dim, scale, causal, kv_len=None):
     """Backward for LONG-short sequences (128 < S <= 256, e.g. ViT-B/16's S=197).
 
     The stacked-[H*S, S] softmax layout of _bwd_kernel keeps three f32 [H*S, S] buffers
@@ -228,6 +236,10 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
     pays for its memory."""
     s = x_ref.shape[1]
     cmask = _causal_mask(s) if causal else None
+    if kv_len is not None and kv_len < s:
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        kmask = col < kv_len
+        cmask = kmask if cmask is None else jnp.logical_and(cmask, kmask)
     for g in range(g_imgs):
         x = x_ref[g]
         dy = dy_ref[g]
@@ -247,7 +259,7 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
             logits = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             ) * scale
-            if causal:
+            if cmask is not None:
                 logits = jnp.where(cmask, logits, NEG_INF)
             m = jnp.max(logits, axis=1, keepdims=True)
             e = jnp.exp(logits - m)
@@ -284,15 +296,26 @@ def _weight_specs(width: int):
     return [wspec, bspec] * 4
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
+def _group_proj_enabled(s: int) -> bool:
+    """Whole-group [G*S, W] projections: always at short S; at S>128 only on a 16-aligned
+    sequence (the wrapper pads to one) and not explicitly disabled."""
+    import os
+
+    if s <= 128:
+        return True
+    return s % 16 == 0 and not os.environ.get("MMTPU_BLOCK_ATTN_NO_LARGE_GROUP")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len):
     b, s, w = x.shape
     g_imgs = _images_per_program(b, s, fwd=True)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
     kern = functools.partial(
         _fwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
-        scale=head_dim ** -0.5, causal=causal,
+        scale=head_dim ** -0.5, causal=causal, kv_len=kv_len,
+        group_proj=_group_proj_enabled(s),
     )
     return pl.pallas_call(
         kern,
@@ -307,12 +330,12 @@ def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
     )(x, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _block_attention_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal):
-    out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal)
+def _block_attention_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len):
+    out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len)
     return out, (x, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _bwd_via_xla(heads, causal, residuals, dy):
+def _bwd_via_xla(heads, causal, kv_len, residuals, dy):
     """Hybrid-mode backward: recompute the attention forward in plain XLA and let autodiff
     derive the gradients (kernel forward + XLA backward). Selected by MMTPU_BLOCK_ATTN_BWD=xla
     for A/B measurement against the Pallas backward."""
@@ -329,6 +352,9 @@ def _bwd_via_xla(heads, causal, residuals, dy):
         ) * hd ** -0.5
         if causal:
             logits = jnp.where(_causal_mask(s)[None, None], logits, NEG_INF)
+        if kv_len is not None and kv_len < s:
+            keys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
+            logits = jnp.where(keys < kv_len, logits, NEG_INF)
         p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, w)
         return out @ wo + bo
@@ -337,21 +363,27 @@ def _bwd_via_xla(heads, causal, residuals, dy):
     return vjp(dy)
 
 
-def _block_attention_bwd(heads, causal, residuals, dy):
+def _block_attention_bwd(heads, causal, kv_len, residuals, dy):
     import os
 
     if os.environ.get("MMTPU_BLOCK_ATTN_BWD") == "xla":
-        return _bwd_via_xla(heads, causal, residuals, dy)
+        return _bwd_via_xla(heads, causal, kv_len, residuals, dy)
     x, wq, bq, wk, bk, wv, bv, wo, bo = residuals
     b, s, w = x.shape
     g_imgs = _images_per_program(b, s, fwd=False)
     head_dim = w // heads
     xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
-    bwd = (_bwd_kernel if s <= 128 and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
-           else _bwd_kernel_large)
+    # stacked bwd everywhere the sequence is 16-aligned (block_attention pads S>128 to
+    # one): measured 8.63 vs 9.17 ms/block at ViT-B/16 dims over the per-head streaming
+    # kernel, which stays as the MMTPU_BLOCK_ATTN_BWD_LARGE fallback (and the only
+    # option for unaligned large S, where the group collapse is Mosaic-pathological)
+    use_stacked = (s <= 128 or s % 16 == 0) and not os.environ.get(
+        "MMTPU_BLOCK_ATTN_BWD_LARGE"
+    )
+    bwd = _bwd_kernel if use_stacked else _bwd_kernel_large
     kern = functools.partial(
         bwd, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
-        scale=head_dim ** -0.5, causal=causal,
+        scale=head_dim ** -0.5, causal=causal, kv_len=kv_len,
     )
     shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
     dx, dq, dk, dv, attnpre = pl.pallas_call(
@@ -394,7 +426,18 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
     """Fused QKV-projection + multi-head attention + output projection.
 
     x: [B, S, W] (post-LN residual-branch input); weights [W, W], biases [W].
-    Returns [B, S, W] in x.dtype (the pre-residual attention-branch output)."""
+    Returns [B, S, W] in x.dtype (the pre-residual attention-branch output).
+
+    At S>128 the sequence is zero-padded to the next multiple of 16 so the kernel's
+    whole-group [G*S, W] projection collapse is tile-aligned (padded keys are softmax-masked
+    inside the kernel; padded query rows are sliced off here, and their cotangents enter
+    the backward as zeros through this slice's vjp)."""
+    s = x.shape[1]
+    if s > 128 and s % 16 != 0 and _group_proj_enabled(s + (-s) % 16):
+        s_pad = s + (-s) % 16
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, s)
+        return out[:, :s]
     return _block_attention(
-        x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal
+        x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, None
     )

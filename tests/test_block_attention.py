@@ -134,3 +134,21 @@ def test_vit_l14_sequence_length():
 
     gk, gr = jax.grad(loss_k)(x), jax.grad(loss_r)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=3e-4, rtol=1e-3)
+
+
+def test_vit_b16_weight_grads_match_reference():
+    """S=197 runs the 16-aligned padded whole-group path; the XLA-side weight-grad
+    reductions consume padded dq/dk/dv/attnpre rows and must still be exact."""
+    b, s, w, heads = 4, 197, 768, 12
+    x, ws = _make_inputs(jax.random.PRNGKey(6), b, s, w, jnp.float32)
+
+    def loss_k(ws):
+        return jnp.sum(jnp.sin(block_attention(x, *ws, heads=heads, causal=False)))
+
+    def loss_r(ws):
+        return jnp.sum(jnp.sin(_ref_block_attention(x, *ws, heads=heads, causal=False)))
+
+    gk, gr = jax.grad(loss_k)(ws), jax.grad(loss_r)(ws)
+    for a, b_, name in zip(gk, gr, ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
+                                   err_msg=name)
