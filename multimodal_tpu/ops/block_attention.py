@@ -55,8 +55,8 @@ def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
 def _images_per_program(batch: int, seq: int, fwd: bool) -> int:
     # VMEM budget expressed as total resident tokens per program (weights + x/y blocks +
     # per-image q/k/v/probs temporaries): 1024 tokens fwd (G=8 at the S=128 design point),
-    # half that bwd, which carries 5 output blocks. bwd at S>128 switches to
-    # _bwd_kernel_large (streaming per-head grads) with one image per program.
+    # half that bwd, which carries 5 output blocks; at S>128 the backward runs one image
+    # per program (stacked [H*S,S] buffers dominate; G=2 measured no gain at S=208).
     max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
     # larger groups under the raised VMEM limit regress (g=16/8 at S=50 measured 2185
     # vs 2385 samples/s: fewer grid programs = coarser DMA/compute pipelining)
@@ -91,8 +91,10 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
     rows = []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
+        # native-dtype operands + f32 accumulation: bf16 inputs keep the MXU at full
+        # rate (explicit f32 casts halved it) while the products still accumulate in f32
         rows.append(jax.lax.dot_general(
-            q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+            q[:, sl], k[:, sl],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         ))
     logits = jnp.concatenate(rows, axis=0) * scale  # [H*S, S]
@@ -114,12 +116,12 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
 def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
     """Per-image attention on [S, W]-packed heads; returns [S, W] pre-projection output."""
     s = q.shape[0]
-    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len)
+    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len).astype(q.dtype)
     outs = []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         outs.append(jnp.dot(
-            p[h * s : (h + 1) * s], v[:, sl].astype(jnp.float32),
+            p[h * s : (h + 1) * s], v[:, sl],
             preferred_element_type=jnp.float32,
         ))
     return jnp.concatenate(outs, axis=1)
@@ -164,21 +166,26 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
     q_all = _proj(x_all, wq, bq)
     k_all = _proj(x_all, wk, bk)
     v_all = _proj(x_all, wv, bv)
-    # do = dy @ Wo^T  (contract dy's W with wo's output dim)
+    # do = dy @ Wo^T  (contract dy's W with wo's output dim; native-dtype operands,
+    # f32 accumulation — explicit f32 casts would halve the MXU rate on bf16)
     do_all = jax.lax.dot_general(
-        dy_all.astype(jnp.float32), wo[...].astype(jnp.float32),
+        dy_all, wo[...],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    do_all_lp = do_all.astype(x_all.dtype)
     dq_rows, dk_rows, dv_rows, attn_rows = [], [], [], []
     for g in range(g_imgs):
         r = slice(g * s, (g + 1) * s)
-        q, k, v, do = q_all[r], k_all[r], v_all[r], do_all[r]
-        p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len)  # [H*S, S]
+        q, k, v, do = q_all[r], k_all[r], v_all[r], do_all_lp[r]
+        # probs in the compute dtype — matches what the forward's P@V consumed, so the
+        # gradients are exact for the quantized forward
+        p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len).astype(
+            x_all.dtype)  # [H*S, S]
         attn_parts, dv_parts, dp_rows = [], [], []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             ph = p[h * s : (h + 1) * s]
-            vh = v[:, sl].astype(jnp.float32)
+            vh = v[:, sl]
             doh = do[:, sl]
             attn_parts.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
             # dv = P^T dO ; dP = dO V^T
@@ -186,39 +193,40 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                 ph, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
             dp_rows.append(jax.lax.dot_general(
                 doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32))
-        dp = jnp.concatenate(dp_rows, axis=0)  # [H*S, S]
+        dp = jnp.concatenate(dp_rows, axis=0)  # [H*S, S] f32
         # dS = P*(dP - rowsum(dP*P)) — one vectorized pass across all heads
-        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        p32 = p.astype(jnp.float32)
+        ds = (p32 * (dp - jnp.sum(dp * p32, axis=1, keepdims=True))).astype(x_all.dtype)
         dq_parts, dk_parts = [], []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             dsh = ds[h * s : (h + 1) * s]
             dq_parts.append(jnp.dot(
-                dsh, k[:, sl].astype(jnp.float32), preferred_element_type=jnp.float32) * scale)
+                dsh, k[:, sl], preferred_element_type=jnp.float32) * scale)
             dk_parts.append(jax.lax.dot_general(
-                dsh, q[:, sl].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                dsh, q[:, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale)
         dq_rows.append(jnp.concatenate(dq_parts, axis=1))
         dk_rows.append(jnp.concatenate(dk_parts, axis=1))
         dv_rows.append(jnp.concatenate(dv_parts, axis=1))
         attn_rows.append(jnp.concatenate(attn_parts, axis=1))
-    dq = jnp.concatenate(dq_rows, axis=0)  # [G*S, W] f32
-    dk = jnp.concatenate(dk_rows, axis=0)
-    dv = jnp.concatenate(dv_rows, axis=0)
+    dq = jnp.concatenate(dq_rows, axis=0).astype(x_all.dtype)  # [G*S, W]
+    dk = jnp.concatenate(dk_rows, axis=0).astype(x_all.dtype)
+    dv = jnp.concatenate(dv_rows, axis=0).astype(x_all.dtype)
     attnpre_ref[...] = jnp.concatenate(attn_rows, axis=0).astype(
         x_all.dtype).reshape(g_imgs, s, w)
-    dq_ref[...] = dq.astype(x_all.dtype).reshape(g_imgs, s, w)
-    dk_ref[...] = dk.astype(x_all.dtype).reshape(g_imgs, s, w)
-    dv_ref[...] = dv.astype(x_all.dtype).reshape(g_imgs, s, w)
+    dq_ref[...] = dq.reshape(g_imgs, s, w)
+    dk_ref[...] = dk.reshape(g_imgs, s, w)
+    dv_ref[...] = dv.reshape(g_imgs, s, w)
     # dx = dq Wq^T + dk Wk^T + dv Wv^T — whole-group [G*S, W] matmuls, weights in VMEM
     dx = jax.lax.dot_general(
-        dq, wq[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dq, wq[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx += jax.lax.dot_general(
-        dk, wk[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dk, wk[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx += jax.lax.dot_general(
-        dv, wv[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dv, wv[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx_ref[...] = dx.astype(x_all.dtype).reshape(g_imgs, s, w)
 
@@ -247,14 +255,14 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
         k = _proj(x, wk, bk)
         v = _proj(x, wv, bv)
         do = jax.lax.dot_general(
-            dy.astype(jnp.float32), wo[...].astype(jnp.float32),
+            dy, wo[...],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        ).astype(x.dtype)
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            qh = q[:, sl].astype(jnp.float32)
-            kh = k[:, sl].astype(jnp.float32)
-            vh = v[:, sl].astype(jnp.float32)
+            qh = q[:, sl]
+            kh = k[:, sl]
+            vh = v[:, sl]
             doh = do[:, sl]
             logits = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -263,7 +271,8 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
                 logits = jnp.where(cmask, logits, NEG_INF)
             m = jnp.max(logits, axis=1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
+            p32 = e / jnp.sum(e, axis=1, keepdims=True)
+            p = p32.astype(x.dtype)
             attnpre_ref[g, :, sl] = jnp.dot(
                 p, vh, preferred_element_type=jnp.float32).astype(x.dtype)
             dv_ref[g, :, sl] = jax.lax.dot_general(
@@ -271,7 +280,7 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
             ).astype(x.dtype)
             dp = jax.lax.dot_general(
                 doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            ds = (p32 * (dp - jnp.sum(dp * p32, axis=1, keepdims=True))).astype(x.dtype)
             dq_ref[g, :, sl] = (jnp.dot(
                 ds, kh, preferred_element_type=jnp.float32) * scale).astype(x.dtype)
             dk_ref[g, :, sl] = (jax.lax.dot_general(
@@ -279,13 +288,13 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
             ) * scale).astype(x.dtype)
         # dx = dq Wq^T + dk Wk^T + dv Wv^T, reading the per-token grads back from VMEM refs
         dx = jax.lax.dot_general(
-            dq_ref[g].astype(jnp.float32), wq[...].astype(jnp.float32),
+            dq_ref[g], wq[...],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         dx += jax.lax.dot_general(
-            dk_ref[g].astype(jnp.float32), wk[...].astype(jnp.float32),
+            dk_ref[g], wk[...],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         dx += jax.lax.dot_general(
-            dv_ref[g].astype(jnp.float32), wv[...].astype(jnp.float32),
+            dv_ref[g], wv[...],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         dx_ref[g] = dx.astype(x.dtype)
 
