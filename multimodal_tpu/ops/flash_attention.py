@@ -99,8 +99,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 
     @pl.when(live)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        # native-dtype matmul operands + f32 accumulation: bf16 inputs keep the MXU at
+        # full rate (explicit f32 casts halved it); softmax stats stay f32 in scratch
+        q = q_ref[0, 0]  # [BQ, D]
+        k = k_ref[0, 0]  # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
@@ -110,13 +112,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 
         m_prev = m_scr[:, 0:1]  # [BQ, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)  # [BQ, BK]
+        p = jnp.exp(s - m_new)  # [BQ, BK] f32
         alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
         l_scr[:] = jnp.broadcast_to(
             l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
         acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-            p, v_ref[0, 0].astype(jnp.float32), preferred_element_type=jnp.float32,
+            p.astype(q.dtype), v_ref[0, 0], preferred_element_type=jnp.float32,
             precision=precision,
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -186,7 +188,8 @@ def _fwd(q, k, v, causal: bool, sm_scale: float, true_sk: int):
 
 def _recompute_p(q_blk, k_blk, lse_blk, *, sm_scale, causal, seq_len_k, qi, ki,
                  block_q, block_k, precision):
-    """Recompute the probability block P = exp(S - lse) with masking. f32 in, f32 out."""
+    """Recompute the probability block P = exp(S - lse) with masking.
+    Operands in their native dtype (f32 accumulation); returns f32 probabilities."""
     s = jax.lax.dot_general(
         q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,
@@ -208,19 +211,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, 
 
     @pl.when(live)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         p = _recompute_p(
             q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
             seq_len_k=seq_len_k, qi=qi, ki=ki,
             block_q=block_q, block_k=block_k, precision=precision,
         )
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # [BQ, BK]
-        ds = p * (dp - delta_ref[0, 0][:, 0:1])
+        ds = (p * (dp - delta_ref[0, 0][:, 0:1])).astype(q.dtype)
         dq_scr[:] += sm_scale * jnp.dot(
             ds, k, preferred_element_type=jnp.float32, precision=precision
         )
@@ -245,24 +248,25 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
 
     @pl.when(live)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         p = _recompute_p(
             q, k, lse_ref[0, 0][:, 0:1], sm_scale=sm_scale, causal=causal,
             seq_len_k=seq_len_k, qi=qi, ki=ki,
             block_q=block_q, block_k=block_k, precision=precision,
-        )  # [BQ, BK]
-        do = do_ref[0, 0].astype(jnp.float32)
+        )  # [BQ, BK] f32
+        p_lp = p.astype(q.dtype)
+        do = do_ref[0, 0]
         # dV += P^T dO
         dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            p_lp, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        ds = p * (dp - delta_ref[0, 0][:, 0:1])  # [BQ, BK]
+        ds = (p * (dp - delta_ref[0, 0][:, 0:1])).astype(q.dtype)  # [BQ, BK]
         # dK += dS^T Q * scale
         dk_scr[:] += sm_scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,

@@ -61,16 +61,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block, head_dim, sp, tr
     valid = _valid_mask(sp, true_s, causal)
     for g in range(heads_per_block):
         sl = slice(g * head_dim, (g + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32)  # [Sp, D]
-        k = k_ref[0][:, sl].astype(jnp.float32)
-        v = v_ref[0][:, sl].astype(jnp.float32)
+        # native-dtype operands + f32 accumulation: bf16 inputs keep the MXU at full rate
+        # (explicit f32 casts halved it); probs drop to the compute dtype for P@V
+        q = q_ref[0][:, sl]  # [Sp, D]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
         s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(q.dtype)
         o_ref[0, :, sl] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -81,17 +83,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, heads_pe
     valid = _valid_mask(sp, true_s, causal)
     for g in range(heads_per_block):
         sl = slice(g * head_dim, (g + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32)
-        k = k_ref[0][:, sl].astype(jnp.float32)
-        v = v_ref[0][:, sl].astype(jnp.float32)
-        do = do_ref[0][:, sl].astype(jnp.float32)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
         s = jnp.where(valid, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)  # exact probs, recomputed
+        p32 = p / jnp.sum(p, axis=1, keepdims=True)  # exact probs, recomputed
+        p = p32.astype(q.dtype)  # compute dtype for the matmuls (matches fwd's P@V)
 
         dv = jax.lax.dot_general(  # P^T dO
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -99,8 +102,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, heads_pe
         dp = jax.lax.dot_general(  # dO V^T
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(dp * p, axis=1, keepdims=True)  # rowsum(dP * P)
-        ds = p * (dp - delta)
+        delta = jnp.sum(dp * p32, axis=1, keepdims=True)  # rowsum(dP * P)
+        ds = (p32 * (dp - delta)).astype(q.dtype)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale
         dk = jax.lax.dot_general(  # dS^T Q
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
