@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multimodal_tpu.models.config import CLIPConfig, VariationalConfig
@@ -54,6 +55,23 @@ def _resolve_act(name: str):
     raise ValueError(f"unknown activation {name!r}")
 
 
+class _PatchConvParams(nn.Module):
+    """The patch-embed kernel with nn.Conv's parameter contract ([P, P, 3, W] f32,
+    lecun_normal, path <name>/kernel) — consumed as a matmul by VisionStem."""
+
+    patch_size: int
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.patch_size, self.patch_size, 3, self.width),
+            jnp.float32,
+        )
+
+
 class VisionStem(nn.Module):
     """Conv patchify + CLS + positional embedding + ln_pre -> token sequence
     (align_clip/transformer.py:329-459: the 'stem only' VisionEncoder).
@@ -76,16 +94,28 @@ class VisionStem(nn.Module):
         seq_len = grid * grid + 1 + self.extra_tokens
         scale = self.width ** -0.5
 
-        x = nn.Conv(
-            self.width,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="patch_conv",
-        )(images.astype(self.dtype))
-        x = x.reshape(b, grid * grid, self.width)
+        # Patchify as reshape + ONE [B*G^2, P^2*3] @ [P^2*3, W] matmul instead of nn.Conv:
+        # mathematically identical for a non-overlapping stride-P conv, but XLA lowers the
+        # strided conv (and its gradients) off the MXU fast path on v5e — profiled at
+        # ~33 ms/step (3% MXU efficiency) for ViT-B/16 vs ~2 ms as a plain matmul. The
+        # parameter keeps nn.Conv's exact name/shape/init ('patch_conv/kernel',
+        # [P, P, 3, W], lecun_normal) so checkpoints and the torch interop are unchanged.
+        import os
+
+        p = self.patch_size
+        kernel = _PatchConvParams(p, self.width, name="patch_conv")()
+        if os.environ.get("MMTPU_PATCHIFY_CONV"):  # A/B escape hatch: XLA strided conv
+            x = jax.lax.conv_general_dilated(
+                images.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(p, p), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(b, grid * grid, self.width)
+        else:
+            patches = images.astype(self.dtype).reshape(b, grid, p, grid, p, 3)
+            patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b * grid * grid, p * p * 3)
+            x = (patches @ kernel.reshape(p * p * 3, self.width).astype(
+                self.dtype)).reshape(b, grid * grid, self.width)
 
         cls = self.param("class_embedding", nn.initializers.normal(scale), (self.width,))
         tokens = [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x]
