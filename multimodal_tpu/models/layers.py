@@ -36,16 +36,15 @@ class _LNCore(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
+        from multimodal_tpu.ops.block_attention import _ln_rows
+
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        x32 = x.astype(jnp.float32)  # fused into the reduces — not materialized
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.maximum(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mean**2, 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
-        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        if params_only:  # caller folds the LN elsewhere (block-attention LN fusion)
+            return scale, bias
+        return _ln_rows(x, scale, bias, self.epsilon)
 
 
 class LayerNorm(nn.Module):
@@ -56,13 +55,15 @@ class LayerNorm(nn.Module):
     the normalize/scale arithmetic stays in the input dtype — the output was getting
     rounded back to it anyway, and this form guarantees no materialized f32 copies of the
     residual stream regardless of what XLA decides to fuse (bench-neutral on v5e today).
-    The inner module is named LayerNorm_0 to keep the historical parameter tree."""
+    The numerics live in ops.block_attention._ln_rows, the single source shared with the
+    kernel-folded pre-LN path. The inner module is named LayerNorm_0 to keep the
+    historical parameter tree."""
 
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        return _LNCore(epsilon=self.epsilon, name="LayerNorm_0")(x)
+    def __call__(self, x, params_only: bool = False):
+        return _LNCore(epsilon=self.epsilon, name="LayerNorm_0")(x, params_only=params_only)
 
 
 class PatchDropout(nn.Module):
@@ -203,7 +204,7 @@ class MultiHeadAttention(nn.Module):
     logit_scale_max: float = 4.6052  # log(1/0.01), transformer.py:98
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, ln_params=None):
         import os
 
         head_dim = self.width // self.heads
@@ -232,14 +233,24 @@ class MultiHeadAttention(nn.Module):
             use_block_kernel = block_attn_supported(b, s, self.width, self.heads)
         if use_block_kernel and not self.scale_heads:
             cast = lambda a: a.astype(self.dtype)  # noqa: E731
+            ln_kw = (
+                {"ln_scale": ln_params[0], "ln_bias": ln_params[1]}
+                if ln_params is not None
+                else {}
+            )
             return block_attention(
                 x,
                 cast(wq), cast(bq), cast(wk), cast(bk), cast(wv), cast(bv),
                 cast(wo), cast(bo),
                 heads=self.heads,
                 causal=self.causal,
+                **ln_kw,
             )
 
+        if ln_params is not None:  # non-kernel path: apply the pre-LN here
+            from multimodal_tpu.ops.block_attention import _ln_rows
+
+            x = _ln_rows(x, ln_params[0], ln_params[1], 1e-5)
         proj = lambda w_, b_: (  # noqa: E731
             x @ w_.astype(self.dtype) + b_.astype(self.dtype)
         )
@@ -296,6 +307,8 @@ class ResidualBlock(nn.Module):
             if self.ls_init_value is not None
             else (lambda name: (lambda y: y))
         )
+        # ln_1 is handed to the attention as raw (scale, bias) so the block kernel can
+        # fold it in-VMEM; every consumer path applies the identical _ln_rows numerics
         x = x + ls("ls_1")(
             MultiHeadAttention(
                 self.width,
@@ -306,7 +319,7 @@ class ResidualBlock(nn.Module):
                 scaled_cosine=self.scaled_cosine,
                 scale_heads=self.scale_heads,
                 name="attn",
-            )(LayerNorm(name="ln_1")(x), mask=mask)
+            )(x, mask=mask, ln_params=LayerNorm(name="ln_1")(x, params_only=True))
         )
         x = x + ls("ls_2")(
             MLP(

@@ -80,6 +80,18 @@ def _proj(x, w_ref, b_ref):
     return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
 
 
+def _ln_rows(x, gamma, beta, eps):
+    """Row-wise LayerNorm with f32 statistics and compute-dtype arithmetic — the exact
+    numerics of models.layers._LNCore (the reference's LayerNormFp32), so the fused-LN
+    kernel path and the unfused XLA path quantize identically."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    return y * gamma.astype(x.dtype) + beta.astype(x.dtype)
+
+
 def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
     """All heads' softmax probabilities as ONE [H*S, S] f32 array: tiny per-head logit dots
     write into a stacked buffer so the 5-pass softmax runs vectorized once instead of H
@@ -127,9 +139,40 @@ def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
     return jnp.concatenate(outs, axis=1)
 
 
-def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, head_dim,
-                scale, causal, kv_len=None, group_proj=True):
+def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
+                scale, causal, kv_len=None, group_proj=True, ln_eps=None):
+    if ln_eps is not None:
+        gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo, y_ref = refs
+    else:
+        gamma = beta = None
+        wq, bq, wk, bk, wv, bv, wo, bo, y_ref = refs
     s, w = x_ref.shape[1], x_ref.shape[2]
+    if ln_eps is not None:
+        # pre-LN fold: normalize the residual-stream block in VMEM; the LN output never
+        # exists in HBM (saves one [B,S,W] write + read per layer vs the XLA pre-pass)
+        x_all = _ln_rows(
+            x_ref[...].reshape(g_imgs * s, w), gamma[...], beta[...], ln_eps
+        )
+        if group_proj:
+            q = _proj(x_all, wq, bq)
+            k = _proj(x_all, wk, bk)
+            v = _proj(x_all, wv, bv)
+            outs = []
+            for g in range(g_imgs):
+                r = slice(g * s, (g + 1) * s)
+                outs.append(
+                    _attend(q[r], k[r], v[r], heads, head_dim, scale, causal, kv_len))
+            attn = jnp.concatenate(outs, axis=0).astype(x_all.dtype)
+            y_ref[...] = _proj(attn, wo, bo).reshape(g_imgs, s, w)
+            return
+        for g in range(g_imgs):
+            x = x_all[g * s : (g + 1) * s]
+            q = _proj(x, wq, bq)
+            k = _proj(x, wk, bk)
+            v = _proj(x, wv, bv)
+            attn = _attend(q, k, v, heads, head_dim, scale, causal, kv_len).astype(x.dtype)
+            y_ref[g] = _proj(attn, wo, bo)
+        return
     if group_proj and g_imgs > 1:
         # ONE [G*S, W] matmul per projection: per-image [S, W] projs leave the MXU at M=50
         # (measured 74 vs 134 TF/s on the same-size MLP matmuls). At S>128 the collapse
@@ -156,12 +199,30 @@ def _fwd_kernel(x_ref, wq, bq, wk, bk, wv, bv, wo, bo, y_ref, *, g_imgs, heads, 
         y_ref[g] = _proj(attn, wo, bo)
 
 
-def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
-                dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, *, g_imgs, heads, head_dim,
-                scale, causal, kv_len=None):
+def _bwd_kernel(x_ref, dy_ref, *refs, g_imgs, heads, head_dim,
+                scale, causal, kv_len=None, ln_eps=None):
+    if ln_eps is not None:
+        (gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+         dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, ln_ref, dg_ref, db_ref) = refs
+    else:
+        gamma = beta = ln_ref = dg_ref = db_ref = None
+        (wq, bq, wk, bk, wv, bv, wo, bo,
+         dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref) = refs
     s, w = x_ref.shape[1], x_ref.shape[2]
     # whole-group [G*S, W] projections/recompute (see _fwd_kernel MXU note)
     x_all = x_ref[...].reshape(g_imgs * s, w)
+    if ln_eps is not None:
+        # recompute the fwd LN (f32 stats kept for the LN backward below); emit the LN
+        # output so XLA's weight-gradient matmuls read it instead of recomputing
+        x_raw32 = x_all.astype(jnp.float32)
+        ln_mean = jnp.mean(x_raw32, axis=-1, keepdims=True)
+        ln_var = jnp.maximum(
+            jnp.mean(jnp.square(x_raw32), axis=-1, keepdims=True) - ln_mean * ln_mean, 0.0)
+        ln_inv = jax.lax.rsqrt(ln_var + ln_eps)
+        xhat = (x_all - ln_mean.astype(x_all.dtype)) * ln_inv.astype(x_all.dtype)
+        x_all = (xhat * gamma[...].astype(x_all.dtype)
+                 + beta[...].astype(x_all.dtype))
+        ln_ref[...] = x_all.reshape(g_imgs, s, w)
     dy_all = dy_ref[...].reshape(g_imgs * s, w)
     q_all = _proj(x_all, wq, bq)
     k_all = _proj(x_all, wk, bk)
@@ -228,6 +289,24 @@ def _bwd_kernel(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
     dx += jax.lax.dot_general(
         dv, wv[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if ln_eps is not None:
+        # LN backward in-VMEM: dx currently holds g = d(ln_out); per-program partial
+        # dgamma/dbeta sums stream out as [1, W] rows for a single XLA reduction
+        xhat32 = (x_raw32 - ln_mean) * ln_inv
+        # Mosaic requires the sublane dim of an output block be 8-divisible: the [W]
+        # partial sums ride in row 0 of an (8, W) block padded with zero rows, so the
+        # wrapper's cross-program reduction is a plain sum
+        zpad = jnp.zeros((7, w), jnp.float32)
+        dg_ref[...] = jnp.concatenate(
+            [jnp.sum(dx * xhat32, axis=0).reshape(1, w), zpad], axis=0)
+        db_ref[...] = jnp.concatenate(
+            [jnp.sum(dx, axis=0).reshape(1, w), zpad], axis=0)
+        dxhat = dx * gamma[...].astype(jnp.float32)
+        dx = ln_inv * (
+            dxhat
+            - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat32 * jnp.mean(dxhat * xhat32, axis=-1, keepdims=True)
+        )
     dx_ref[...] = dx.astype(x_all.dtype).reshape(g_imgs, s, w)
 
 
@@ -431,22 +510,141 @@ def _block_attention_bwd(heads, causal, kv_len, residuals, dy):
 _block_attention.defvjp(_block_attention_fwd, _block_attention_bwd)
 
 
-def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _block_attention_ln(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+                        heads, causal, kv_len, ln_eps):
+    b, s, w = x.shape
+    g_imgs = _images_per_program(b, s, fwd=True)
+    head_dim = w // heads
+    xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
+    gspec = pl.BlockSpec((w,), lambda i: (0,))
+    kern = functools.partial(
+        _fwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
+        scale=head_dim ** -0.5, causal=causal, kv_len=kv_len,
+        group_proj=_group_proj_enabled(s), ln_eps=ln_eps,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // g_imgs,),
+        in_specs=[xspec, gspec, gspec] + _weight_specs(w),
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=_interpret(),
+    )(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _block_attention_ln_fwd(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+                            heads, causal, kv_len, ln_eps):
+    out = _block_attention_ln(
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len, ln_eps)
+    return out, (x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residuals, dy):
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo = residuals
+    b, s, w = x.shape
+    g_imgs = _images_per_program(b, s, fwd=False)
+    head_dim = w // heads
+    n_prog = b // g_imgs
+    xspec = pl.BlockSpec((g_imgs, s, w), lambda i: (i, 0, 0))
+    gspec = pl.BlockSpec((w,), lambda i: (0,))
+    pspec = pl.BlockSpec((8, w), lambda i: (i, 0))
+    kern = functools.partial(
+        _bwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
+        scale=head_dim ** -0.5, causal=causal, kv_len=kv_len, ln_eps=ln_eps,
+    )
+    shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
+    pshape = jax.ShapeDtypeStruct((n_prog * 8, w), jnp.float32)
+    dx, dq, dk, dv, attnpre, ln_out, dg_p, db_p = pl.pallas_call(
+        kern,
+        grid=(n_prog,),
+        in_specs=[xspec, xspec, gspec, gspec] + _weight_specs(w),
+        out_specs=[xspec] * 5 + [xspec, pspec, pspec],
+        out_shape=[shape] * 5 + [shape, pshape, pshape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=_interpret(),
+    )(x, dy, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo)
+
+    dgamma = jnp.sum(dg_p, axis=0).astype(gamma.dtype)
+    dbeta = jnp.sum(db_p, axis=0).astype(beta.dtype)
+    # weight/bias grads: single whole-batch reductions over the kernel-emitted LN output
+    x2 = ln_out.reshape(-1, w)
+    f32 = jnp.float32
+
+    def wgrad(dz):
+        return jax.lax.dot_general(
+            x2, dz.reshape(-1, w), (((0,), (0,)), ((), ())), preferred_element_type=f32
+        ).astype(wq.dtype)
+
+    dwq, dwk, dwv = wgrad(dq), wgrad(dk), wgrad(dv)
+    dwo = jax.lax.dot_general(
+        attnpre.reshape(-1, w), dy.reshape(-1, w), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(wo.dtype)
+    dbq = jnp.sum(dq.astype(f32), axis=(0, 1)).astype(bq.dtype)
+    dbk = jnp.sum(dk.astype(f32), axis=(0, 1)).astype(bk.dtype)
+    dbv = jnp.sum(dv.astype(f32), axis=(0, 1)).astype(bv.dtype)
+    dbo = jnp.sum(dy.astype(f32), axis=(0, 1)).astype(bo.dtype)
+    return dx, dgamma, dbeta, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo
+
+
+_block_attention_ln.defvjp(_block_attention_ln_fwd, _block_attention_ln_bwd)
+
+
+def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False,
+                    ln_scale=None, ln_bias=None, ln_eps: float = 1e-5):
     """Fused QKV-projection + multi-head attention + output projection.
 
     x: [B, S, W] (post-LN residual-branch input); weights [W, W], biases [W].
     Returns [B, S, W] in x.dtype (the pre-residual attention-branch output).
 
+    With ``ln_scale``/``ln_bias``, x is the PRE-LN residual stream and the pre-attention
+    LayerNorm (the reference's ln_1, transformer.py:200) is folded into the kernel: the
+    normalized activations never round-trip HBM in forward, and the backward applies the
+    LN vjp in-VMEM, emitting per-program dgamma/dbeta partials. Disable with
+    MMTPU_BLOCK_ATTN_LN=0 (falls back to an identical-numerics XLA LN pre-pass).
+
     At S>128 the sequence is zero-padded to the next multiple of 16 so the kernel's
     whole-group [G*S, W] projection collapse is tile-aligned (padded keys are softmax-masked
     inside the kernel; padded query rows are sliced off here, and their cotangents enter
-    the backward as zeros through this slice's vjp)."""
+    the backward as zeros through this slice's vjp). Padded rows of a pre-LN input
+    normalize to the bias vector, which the same masks make inert."""
+    import os
+
     s = x.shape[1]
+    # Default: fold only at S>128 — measured +1.8% on ViT-B/16 (S=197) where the
+    # [B,S,W] LN round-trips are large, but -2.8% on ViT-B/32 (S=50) where the extra
+    # in-kernel VMEM/ln_out emission costs more than the small LN traffic it saves.
+    # MMTPU_BLOCK_ATTN_LN=1 forces the fold at every S, =0 disables it everywhere.
+    ln_env = os.environ.get("MMTPU_BLOCK_ATTN_LN", "")
+    fused_ln = (
+        ln_scale is not None
+        and (ln_env == "1" or (ln_env != "0" and s > 128))
+        and os.environ.get("MMTPU_BLOCK_ATTN_BWD") != "xla"
+        and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
+    )
+    if ln_scale is not None and not fused_ln:
+        x = _ln_rows(x, ln_scale, ln_bias, ln_eps)
+        ln_scale = ln_bias = None
     if s > 128 and s % 16 != 0 and _group_proj_enabled(s + (-s) % 16):
         s_pad = s + (-s) % 16
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
-        out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, s)
+        if ln_scale is not None:
+            out = _block_attention_ln(
+                x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                heads, causal, s, ln_eps)
+        else:
+            out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, s)
         return out[:, :s]
+    if ln_scale is not None:
+        return _block_attention_ln(
+            x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+            heads, causal, None, ln_eps)
     return _block_attention(
         x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, None
     )

@@ -152,3 +152,83 @@ def test_vit_b16_weight_grads_match_reference():
     for a, b_, name in zip(gk, gr, ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
                                    err_msg=name)
+
+
+def _ref_ln(x, gamma, beta, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mean**2, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
+
+
+@pytest.mark.parametrize("causal,b,s,w,heads", [
+    (False, 4, 50, 256, 4),     # short-S whole-group path
+    (True, 3, 77, 512, 8),      # causal text-tower dims
+    (False, 2, 197, 768, 12),   # padded 16-aligned large-S path
+])
+def test_ln_fold_matches_unfused(causal, b, s, w, heads, monkeypatch):
+    """The kernel-folded pre-LN (values AND the full vjp incl. dgamma/dbeta) must match
+    LN-then-attention computed by the plain reference."""
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")  # force the fold at every S
+    x, ws = _make_inputs(jax.random.PRNGKey(7), b, s, w, jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(8), (w,), jnp.float32)
+    beta = 0.1 * jax.random.normal(jax.random.PRNGKey(9), (w,), jnp.float32)
+
+    def loss_fused(x, gamma, beta, *ws):
+        y = block_attention(x, *ws, heads=heads, causal=causal,
+                            ln_scale=gamma, ln_bias=beta)
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_ref(x, gamma, beta, *ws):
+        y = _ref_block_attention(_ref_ln(x, gamma, beta), *ws, heads=heads, causal=causal)
+        return jnp.sum(jnp.sin(y)), y
+
+    (lk, yk), gk = jax.value_and_grad(loss_fused, argnums=(0, 1, 2), has_aux=True)(
+        x, gamma, beta, *ws)
+    (lr, yr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(
+        x, gamma, beta, *ws)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=5e-5, rtol=5e-5)
+    for name, a, r in zip(["dx", "dgamma", "dbeta"], gk, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4 * scale, rtol=2e-3, err_msg=name)
+
+
+def test_ln_fold_weight_grads_match(monkeypatch):
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")
+    b, s, w, heads = 4, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(10), b, s, w, jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (w,), jnp.float32)
+    beta = 0.1 * jax.random.normal(jax.random.PRNGKey(12), (w,), jnp.float32)
+
+    def loss_fused(ws):
+        y = block_attention(x, *ws, heads=heads, causal=False,
+                            ln_scale=gamma, ln_bias=beta)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(ws):
+        y = _ref_block_attention(_ref_ln(x, gamma, beta), *ws, heads=heads, causal=False)
+        return jnp.sum(jnp.sin(y))
+
+    gk, gr = jax.grad(loss_fused)(ws), jax.grad(loss_ref)(ws)
+    for a, r, name in zip(gk, gr, ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4, rtol=1e-3,
+                                   err_msg=name)
+
+
+def test_ln_fold_env_fallback_identical(monkeypatch):
+    """MMTPU_BLOCK_ATTN_LN=0 must route through the XLA _ln_rows pre-pass and agree with
+    the fused path to float tolerance."""
+    b, s, w, heads = 4, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(13), b, s, w, jnp.float32)
+    gamma = jnp.ones((w,), jnp.float32)
+    beta = jnp.zeros((w,), jnp.float32)
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")
+    fused = block_attention(x, *ws, heads=heads, causal=False,
+                            ln_scale=gamma, ln_bias=beta)
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "0")
+    unfused = block_attention(x, *ws, heads=heads, causal=False,
+                              ln_scale=gamma, ln_bias=beta)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=2e-5, rtol=2e-5)
