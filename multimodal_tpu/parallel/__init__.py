@@ -6,6 +6,11 @@ from multimodal_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from multimodal_tpu.parallel.fsdp import (
+    fsdp_spec_for_leaf,
+    fsdp_state_shardings,
+    shard_state_fsdp,
+)
 from multimodal_tpu.parallel.tp import (
     MODEL_AXIS,
     create_tp_mesh,

@@ -257,6 +257,11 @@ def parse_args(args=None):
     g.add_argument("--tensor-parallel", type=int, default=1,
                    help="model-axis size of a (data, model) mesh; params shard by the "
                         "Megatron column/row rules (parallel/tp.py)")
+    g.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP: shard params + AdamW state over the data axis "
+                        "(parallel/fsdp.py); GSPMD inserts the gather/reduce-scatter "
+                        "schedule. Torch-FSDP counterpart; composes with --dcn-slices "
+                        "(shards ride ICI only)")
     g.add_argument("--use-shard-map", choices=["auto", "on", "off"], default="auto",
                    help="compute the loss inside shard_map (local_loss form: local@global "
                         "logits with axis-offset labels, loss.py:109-117, never a global "
@@ -289,4 +294,10 @@ def parse_args(args=None):
     if ns.use_shard_map and ns.tensor_parallel > 1:
         parser.error("--use-shard-map and --tensor-parallel are exclusive "
                      "(TP shards params via GSPMD propagation)")
+    if ns.fsdp and ns.tensor_parallel > 1:
+        parser.error("--fsdp and --tensor-parallel are exclusive "
+                     "(both assign parameter shardings)")
+    if ns.fsdp and ns.use_shard_map:
+        parser.error("--fsdp requires the GSPMD jit path "
+                     "(drop --use-shard-map on / --contrastive-impl ring)")
     return ns

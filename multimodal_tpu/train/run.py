@@ -636,6 +636,11 @@ def main(argv=None):
 
         state_shardings = tp_state_shardings(state, mesh)
         state = shard_state(state, mesh)
+    elif args.fsdp:
+        from multimodal_tpu.parallel.fsdp import fsdp_state_shardings, shard_state_fsdp
+
+        state_shardings = fsdp_state_shardings(state, mesh)
+        state = shard_state_fsdp(state, mesh)
     else:
         state = jax.device_put(state, replicated_sharding(mesh))
 
