@@ -11,6 +11,14 @@ from multimodal_tpu.parallel.fsdp import (
     fsdp_state_shardings,
     shard_state_fsdp,
 )
+from multimodal_tpu.parallel.pp import (
+    create_pp_mesh,
+    from_pipeline_params,
+    make_pp_train_step,
+    pipeline_blocks,
+    pp_state_shardings,
+    to_pipeline_params,
+)
 from multimodal_tpu.parallel.tp import (
     MODEL_AXIS,
     create_tp_mesh,
