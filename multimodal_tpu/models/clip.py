@@ -251,6 +251,10 @@ class CLIP(nn.Module):
                 ls_init_value=c.vision.ls_init_value,
                 scaled_cosine=c.vision.scaled_cosine,
                 scale_heads=c.vision.scale_heads,
+                moe_experts=c.vision.moe_experts,
+                moe_every=c.vision.moe_every,
+                moe_top_k=c.vision.moe_top_k,
+                moe_capacity_factor=c.vision.moe_capacity_factor,
                 name="visual_transformer",
             )
             self.text_trunk = Transformer(

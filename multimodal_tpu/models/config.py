@@ -28,6 +28,11 @@ class VisionConfig:
     attentional_pool: bool = False  # learned-query pooling head (model.py:34, transformer.py:167)
     n_queries: int = 256
     attn_pooler_heads: int = 8
+    # sparse capacity (beyond reference): MoE MLPs on every `moe_every`-th block
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +92,10 @@ def _vision_from_json(d: dict) -> VisionConfig:
         attentional_pool=d.get("attentional_pool", False),
         n_queries=d.get("n_queries", 256),
         attn_pooler_heads=d.get("attn_pooler_heads", 8),
+        moe_experts=d.get("moe_experts", 0),
+        moe_every=d.get("moe_every", 2),
+        moe_top_k=d.get("moe_top_k", 1),
+        moe_capacity_factor=d.get("moe_capacity_factor", 1.25),
     )
 
 

@@ -299,6 +299,9 @@ class ResidualBlock(nn.Module):
     ls_init_value: float | None = None  # LayerScale on both residual branches (:208,219)
     scaled_cosine: bool = False
     scale_heads: bool = False
+    moe_experts: int = 0  # >0: MoE MLP with this many experts (models/moe.py)
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -321,16 +324,30 @@ class ResidualBlock(nn.Module):
                 name="attn",
             )(x, mask=mask, ln_params=LayerNorm(name="ln_1")(x, params_only=True))
         )
-        x = x + ls("ls_2")(
-            MLP(
+        if self.moe_experts > 0:
+            from multimodal_tpu.models.moe import MoEMLP
+
+            mlp = MoEMLP(
+                self.width,
+                self.moe_experts,
+                self.mlp_ratio,
+                act=self.act,
+                dtype=self.dtype,
+                depth=self.depth,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                name="moe_mlp",
+            )
+        else:
+            mlp = MLP(
                 self.width,
                 self.mlp_ratio,
                 act=self.act,
                 dtype=self.dtype,
                 depth=self.depth,
                 name="mlp",
-            )(LayerNorm(name="ln_2")(x))
-        )
+            )
+        x = x + ls("ls_2")(mlp(LayerNorm(name="ln_2")(x)))
         return x
 
 
@@ -349,11 +366,16 @@ class Transformer(nn.Module):
     ls_init_value: float | None = None
     scaled_cosine: bool = False
     scale_heads: bool = False
+    moe_experts: int = 0  # MoE MLPs on every moe_every-th block (GShard convention)
+    moe_every: int = 2
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, mask=None):
         block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         for i in range(self.layers):
+            is_moe = self.moe_experts > 0 and (i % self.moe_every == self.moe_every - 1)
             x = block_cls(
                 self.width,
                 self.heads,
@@ -365,6 +387,9 @@ class Transformer(nn.Module):
                 ls_init_value=self.ls_init_value,
                 scaled_cosine=self.scaled_cosine,
                 scale_heads=self.scale_heads,
+                moe_experts=self.moe_experts if is_moe else 0,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"resblock_{i}",
             )(x, mask)
         return x

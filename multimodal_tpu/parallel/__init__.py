@@ -6,6 +6,12 @@ from multimodal_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from multimodal_tpu.parallel.ep import (
+    EXPERT_AXIS,
+    create_ep_mesh,
+    ep_state_shardings,
+    shard_state_ep,
+)
 from multimodal_tpu.parallel.fsdp import (
     fsdp_spec_for_leaf,
     fsdp_state_shardings,

@@ -95,12 +95,27 @@ def make_loss_fn(
         # column chunks), 'ring' (ppermute-streamed, no all-gather) — losses/global_contrastive
         impl = kw.pop("contrastive_impl", "dense")
         chunk_size = kw.pop("chunk_size", 1024)
+        # MoE configs sow per-layer load-balance terms (models/moe.py); collect them here
+        moe_aux_weight = kw.pop("moe_aux_weight", 0.01)
+        has_moe = getattr(getattr(model, "cfg", None), "vision", None) is not None and (
+            model.cfg.vision.moe_experts > 0
+        )
 
         def loss_fn(params, batch, rng, axis_name=None):
-            out = model.apply(
-                params, batch_images(batch), batch["text"], train=True,
-                rngs={"patch_dropout": rng},
-            )
+            moe_aux = None
+            if has_moe:
+                from multimodal_tpu.models.moe import collect_moe_losses
+
+                out, mutated = model.apply(
+                    params, batch_images(batch), batch["text"], train=True,
+                    rngs={"patch_dropout": rng}, mutable=["moe_losses"],
+                )
+                moe_aux = collect_moe_losses(mutated)
+            else:
+                out = model.apply(
+                    params, batch_images(batch), batch["text"], train=True,
+                    rngs={"patch_dropout": rng},
+                )
             fi, ft, ls = out["image_features"], out["text_features"], out["logit_scale"]
             if impl == "ring" and axis_name is not None:
                 from multimodal_tpu.losses.global_contrastive import ring_clip_loss
@@ -123,7 +138,12 @@ def make_loss_fn(
                     local_loss=local_loss,
                     **kw,
                 )
-            return loss, {"loss": loss, "logit_scale": ls}
+            metrics = {"loss": loss, "logit_scale": ls}
+            if moe_aux is not None:
+                loss = loss + moe_aux_weight * moe_aux
+                metrics["moe_aux_loss"] = moe_aux
+                metrics["loss"] = loss
+            return loss, metrics
 
         return loss_fn
 

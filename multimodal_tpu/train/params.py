@@ -257,6 +257,10 @@ def parse_args(args=None):
     g.add_argument("--tensor-parallel", type=int, default=1,
                    help="model-axis size of a (data, model) mesh; params shard by the "
                         "Megatron column/row rules (parallel/tp.py)")
+    g.add_argument("--expert-parallel", type=int, default=1,
+                   help="expert-axis size of a (data, expert) mesh; MoE expert stacks "
+                        "shard by the GShard rules (parallel/ep.py; needs a model config "
+                        "with moe_experts > 0, e.g. vision_cfg.moe_experts)")
     g.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP: shard params + AdamW state over the data axis "
                         "(parallel/fsdp.py); GSPMD inserts the gather/reduce-scatter "
@@ -300,4 +304,9 @@ def parse_args(args=None):
     if ns.fsdp and ns.use_shard_map:
         parser.error("--fsdp requires the GSPMD jit path "
                      "(drop --use-shard-map on / --contrastive-impl ring)")
+    if ns.expert_parallel > 1 and (
+        ns.tensor_parallel > 1 or ns.fsdp or ns.use_shard_map
+    ):
+        parser.error("--expert-parallel is exclusive with --tensor-parallel/--fsdp/"
+                     "--use-shard-map (one parameter-sharding scheme at a time)")
     return ns

@@ -505,12 +505,18 @@ def main(argv=None):
     )
 
     tp = max(args.tensor_parallel, 1)
+    ep = max(args.expert_parallel, 1)
     num_devices = len(jax.devices())
     if tp > 1:
         from multimodal_tpu.parallel.tp import create_tp_mesh
 
         assert args.dcn_slices <= 1, "--tensor-parallel and --dcn-slices are exclusive"
         mesh = create_tp_mesh(num_devices // tp, tp)
+    elif ep > 1:
+        from multimodal_tpu.parallel.ep import create_ep_mesh
+
+        assert args.dcn_slices <= 1, "--expert-parallel and --dcn-slices are exclusive"
+        mesh = create_ep_mesh(num_devices // ep, ep)
     elif args.dcn_slices > 1:
         from multimodal_tpu.parallel import create_hybrid_mesh
 
@@ -636,6 +642,11 @@ def main(argv=None):
 
         state_shardings = tp_state_shardings(state, mesh)
         state = shard_state(state, mesh)
+    elif ep > 1:
+        from multimodal_tpu.parallel.ep import ep_state_shardings, shard_state_ep
+
+        state_shardings = ep_state_shardings(state, mesh)
+        state = shard_state_ep(state, mesh)
     elif args.fsdp:
         from multimodal_tpu.parallel.fsdp import fsdp_state_shardings, shard_state_fsdp
 
