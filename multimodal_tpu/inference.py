@@ -22,25 +22,48 @@ from multimodal_tpu.data.wds import decode_images
 class Embedder:
     """Jitted, fixed-batch text/image embedding over a CLIP-family model."""
 
-    def __init__(self, model, params, batch_size: int = 256, normalize: bool = True):
+    def __init__(self, model, params, batch_size: int = 256, normalize: bool = True,
+                 quantized: bool = False):
+        """quantized=True converts the params to W8A8 once (inference_quant.py) and serves
+        every encode on the MXU's 2x-rate int8 path — forward-only, cosine>0.99 of f32."""
         self.model = model
-        self.params = params
         self.batch_size = batch_size
         self.normalize = normalize
 
-        @jax.jit
-        def _encode_text(params, tokens):
-            return model.apply(params, tokens, normalize=normalize,
-                               method=model.encode_text)
+        if quantized:
+            from multimodal_tpu.inference_quant import (
+                encode_image_q,
+                encode_text_q,
+                quantize_clip_params,
+            )
 
-        @jax.jit
-        def _encode_image(params, images):
-            x = images
-            if x.dtype == jnp.uint8:
-                from multimodal_tpu.data.preprocess import normalize_images
+            cfg = model.cfg
+            self.params = quantize_clip_params(params, cfg)
 
-                x = normalize_images(x)
-            return model.apply(params, x, normalize=normalize, method=model.encode_image)
+            @jax.jit
+            def _encode_text(qparams, tokens):
+                return encode_text_q(qparams, cfg, tokens, normalize=normalize)
+
+            @jax.jit
+            def _encode_image(qparams, images):
+                return encode_image_q(qparams, cfg, images, normalize=normalize)
+        else:
+            self.params = params
+
+            @jax.jit
+            def _encode_text(params, tokens):
+                return model.apply(params, tokens, normalize=normalize,
+                                   method=model.encode_text)
+
+            @jax.jit
+            def _encode_image(params, images):
+                x = images
+                if x.dtype == jnp.uint8:
+                    from multimodal_tpu.data.preprocess import normalize_images
+
+                    x = normalize_images(x)
+                return model.apply(params, x, normalize=normalize,
+                                   method=model.encode_image)
 
         self._encode_text = _encode_text
         self._encode_image = _encode_image

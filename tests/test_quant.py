@@ -1,0 +1,97 @@
+"""Int8 serving path (ops/quant.py, inference_quant.py): quantization primitives are exact
+to their spec, and the quantized encoders track the f32 model to cosine > 0.99."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_tpu.inference import Embedder
+from multimodal_tpu.inference_quant import (
+    encode_image_q,
+    encode_text_q,
+    quantize_clip_params,
+)
+from multimodal_tpu.models import create_model, init_params
+from multimodal_tpu.ops.quant import int8_matmul, quantize_rows, quantize_weight
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    wq, scale = quantize_weight(w)
+    assert wq.dtype == jnp.int8
+    deq = wq.astype(jnp.float32) * scale[None, :]
+    # max error is half an int8 step of the per-column scale
+    err = np.max(np.abs(np.asarray(deq - w)), axis=0)
+    assert np.all(err <= np.asarray(scale) * 0.5 + 1e-7)
+
+
+def test_quantize_rows_range():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 64)) * 10, jnp.float32)
+    xq, sx = quantize_rows(x)
+    assert int(jnp.max(jnp.abs(xq.astype(jnp.int32)))) == 127  # max row value maps to 127
+
+
+def test_int8_matmul_tracks_f32():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(16, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    wq, scale = quantize_weight(w)
+    y_q = np.asarray(int8_matmul(x, wq, scale, bias=b, out_dtype=jnp.float32))
+    y_f = np.asarray(x @ w + b)
+    # relative error bounded by the two 8-bit roundings over a 128-deep contraction
+    rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+    assert rel < 0.02, rel
+
+
+def _cosine(a, b):
+    a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    return np.sum(a * b, axis=-1)
+
+
+def test_quantized_encoders_track_f32_model():
+    model = create_model("tiny-test")
+    params = init_params(model, jax.random.PRNGKey(0))
+    qparams = quantize_clip_params(params, model.cfg)
+
+    rng = np.random.default_rng(3)
+    c = model.cfg
+    images = jnp.asarray(
+        rng.integers(0, 256, (8, c.vision.image_size, c.vision.image_size, 3)), jnp.uint8)
+    tokens = jnp.asarray(
+        rng.integers(1, c.text.vocab_size - 1, (8, c.text.context_length)), jnp.int32)
+
+    from multimodal_tpu.data.preprocess import normalize_images
+
+    fi_f = np.asarray(model.apply(params, normalize_images(images), normalize=True,
+                                  method=model.encode_image))
+    ft_f = np.asarray(model.apply(params, tokens, normalize=True,
+                                  method=model.encode_text))
+    fi_q = np.asarray(encode_image_q(qparams, c, images))
+    ft_q = np.asarray(encode_text_q(qparams, c, tokens))
+
+    assert np.min(_cosine(fi_q, fi_f)) > 0.99, _cosine(fi_q, fi_f)
+    assert np.min(_cosine(ft_q, ft_f)) > 0.99, _cosine(ft_q, ft_f)
+
+
+def test_quantized_embedder_end_to_end():
+    model = create_model("tiny-test")
+    params = init_params(model, jax.random.PRNGKey(0))
+    emb_f = Embedder(model, params, batch_size=8)
+    emb_q = Embedder(model, params, batch_size=8, quantized=True)
+
+    rng = np.random.default_rng(4)
+    c = model.cfg
+    images = rng.integers(
+        0, 256, (13, c.vision.image_size, c.vision.image_size, 3)).astype(np.uint8)
+    tokens = rng.integers(1, c.text.vocab_size - 1, (13, c.text.context_length)).astype(
+        np.int32)
+
+    fi = emb_q.embed_images(images)
+    ft = emb_q.embed_tokens(tokens)
+    assert fi.shape == (13, c.embed_dim) and ft.shape == (13, c.embed_dim)
+    assert np.min(_cosine(fi, emb_f.embed_images(images))) > 0.99
+    assert np.min(_cosine(ft, emb_f.embed_tokens(tokens))) > 0.99
