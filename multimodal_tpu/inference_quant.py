@@ -36,6 +36,18 @@ def quantize_clip_params(params, cfg):
     assert not cfg.share_trunk and not cfg.vision.attentional_pool, (
         "quantized serving covers the two-tower CLIP family"
     )
+    # the quantized forward below implements the PLAIN pre-LN block only; reject any
+    # config whose blocks carry extra structure it would silently drop (accuracy gate
+    # in tests only covers configs that pass these)
+    unsupported = {
+        "ls_init_value": cfg.vision.ls_init_value or cfg.text.ls_init_value,
+        "scaled_cosine": cfg.vision.scaled_cosine,
+        "scale_heads": cfg.vision.scale_heads,
+        "moe_experts": cfg.vision.moe_experts,
+    }
+    bad = [k for k, v in unsupported.items() if v]
+    assert not bad, f"quantized serving does not support {bad} (plain pre-LN blocks only)"
+    assert cfg.act in ("quick_gelu", "gelu"), f"unsupported activation {cfg.act!r}"
 
     def convert(tree):
         if isinstance(tree, dict):
@@ -74,7 +86,7 @@ def _ln(p, x):
     return _ln_rows(x, inner["scale"], inner["bias"], 1e-5)
 
 
-def _block(p, x, heads: int, causal: bool):
+def _block(p, x, heads: int, causal: bool, act: str = "quick_gelu"):
     """Pre-LN residual block (models/layers.py:289-334) with int8 projections."""
     b, s, w = x.shape
     d = w // heads
@@ -86,7 +98,10 @@ def _block(p, x, heads: int, causal: bool):
     x = x + _qdense(p["attn"]["out"], o)
     h = _ln(p["ln_2"], x)
     h = _qdense(p["mlp"]["c_fc"], h)
-    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (layers.quick_gelu)
+    if act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)  # layers.quick_gelu
+    else:
+        h = jax.nn.gelu(h, approximate=True)  # matches clip._resolve_act's nn.gelu
     x = x + _qdense(p["mlp"]["c_proj"], h)
     return x
 
@@ -114,8 +129,10 @@ def encode_image_q(qparams, cfg, images, normalize: bool = True):
     x = jnp.concatenate([cls, x], axis=1) + stem["positional_embedding"].astype(x.dtype)
     x = _ln(stem["ln_pre"], x)
     for i in range(v.layers):
-        x = _block(p["visual_transformer"][f"resblock_{i}"], x, v.heads, causal=False)
-    pooled = _ln(p["ln_post"], x[:, 0])
+        x = _block(p["visual_transformer"][f"resblock_{i}"], x, v.heads, causal=False,
+                   act=cfg.act)
+    pooled = jnp.mean(x, axis=1) if v.global_average_pool else x[:, 0]
+    pooled = _ln(p["ln_post"], pooled)
     feats = _qdense(p["visual_projection"], pooled, out_dtype=jnp.float32)
     if normalize:
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
@@ -130,7 +147,8 @@ def encode_text_q(qparams, cfg, tokens, normalize: bool = True):
     x = stem["token_embedding"]["embedding"].astype(jnp.bfloat16)[tokens]
     x = x + stem["positional_embedding"].astype(x.dtype)
     for i in range(t.layers):
-        x = _block(p["text_transformer"][f"resblock_{i}"], x, t.heads, causal=True)
+        x = _block(p["text_transformer"][f"resblock_{i}"], x, t.heads, causal=True,
+                   act=cfg.act)
     eot = jnp.take_along_axis(x, jnp.argmax(tokens, axis=-1)[:, None, None], axis=1)[:, 0]
     pooled = _ln(p["ln_final"], eot)
     feats = _qdense(p["text_projection"], pooled, out_dtype=jnp.float32)

@@ -10,8 +10,12 @@ problem:
     dispatch/return all-to-alls for the einsums below, exactly the GShard program;
   * routing is top-k (k=1 Switch, k=2 GShard) with a capacity factor; overflowed tokens
     fall through the residual connection (standard drop semantics, deterministic);
-  * dispatch/combine are one-hot einsums ([T,E,C] tensors), not gathers/scatters — scalar
-    scatter is the one thing the MXU cannot do; one-hot contractions it does at full rate;
+  * routing happens WITHIN GROUPS (GShard's token groups; here one group per
+    image/sequence, i.e. the natural [B, S, W] batch dim), so the one-hot
+    dispatch/combine tensors are [G, S, E, C] with C ~ cf*S*k/E — memory linear in
+    batch, not the O(T^2) a flat [T, E, C] dispatch over T = B*S tokens would cost;
+  * dispatch/combine are one-hot einsums, not gathers/scatters — scalar scatter is the
+    one thing the MXU cannot do; one-hot contractions it does at full rate;
   * the router runs in float32 (routing decisions are precision-sensitive) and the
     load-balance auxiliary loss (num_experts * mean_e[frac_tokens_e * mean_prob_e]) is
     sown into the 'moe_losses' collection for the train step to collect.
@@ -31,13 +35,14 @@ Dtype = Any
 def load_balance_loss(router_probs, expert_mask):
     """Switch-Transformer aux loss: E * sum_e f_e * p_e, minimized (=1) at uniform routing.
 
-    router_probs: [T, E] softmax probs; expert_mask: [T, E] one-hot of the chosen expert(s)
-    (summed over k for top-k). Differentiable through the probs term only, as published.
+    router_probs: [..., S, E] softmax probs; expert_mask: [..., S, E] one-hot of the chosen
+    expert(s) (summed over k for top-k). f_e/p_e are means over the token axis; any leading
+    (group) dims are averaged. Differentiable through the probs term only, as published.
     """
     num_experts = router_probs.shape[-1]
-    frac_tokens = jnp.mean(expert_mask, axis=0)  # f_e, not differentiable (argmax)
-    mean_probs = jnp.mean(router_probs, axis=0)  # p_e, differentiable
-    return num_experts * jnp.sum(frac_tokens * mean_probs)
+    frac_tokens = jnp.mean(expert_mask, axis=-2)  # f_e, not differentiable (argmax)
+    mean_probs = jnp.mean(router_probs, axis=-2)  # p_e, differentiable
+    return num_experts * jnp.mean(jnp.sum(frac_tokens * mean_probs, axis=-1))
 
 
 class MoEMLP(nn.Module):
@@ -58,48 +63,50 @@ class MoEMLP(nn.Module):
 
         act = self.act or quick_gelu
         b, s, w = x.shape
-        t = b * s
         e = self.num_experts
         hidden = int(self.width * self.expansion)
-        capacity = max(1, int(self.capacity_factor * t * self.top_k / e))
+        # GShard group-wise routing: one group per image/sequence, capacity per group.
+        # Keeps dispatch/combine at [G,S,E,C] (linear in batch) instead of O(T^2).
+        capacity = max(1, int(self.capacity_factor * s * self.top_k / e))
 
-        xt = x.reshape(t, w)
-        # router in f32; tiny [T,E] matmul, negligible next to the expert FLOPs
+        # router in f32; tiny [G,S,E] matmul, negligible next to the expert FLOPs
         logits = nn.Dense(e, dtype=jnp.float32, param_dtype=jnp.float32,
                           kernel_init=nn.initializers.normal(stddev=w ** -0.5),
-                          name="router")(xt.astype(jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1)  # [T,E]
+                          name="router")(x.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # [G,S,E]
 
         # top-k dispatch: iterate k rounds, masking chosen experts between rounds so the
         # one-hot algebra stays a fixed-shape einsum program
         remaining = probs
-        dispatch = jnp.zeros((t, e, capacity), jnp.float32)
-        combine = jnp.zeros((t, e, capacity), jnp.float32)
-        mask_sum = jnp.zeros((t, e), jnp.float32)
+        dispatch = jnp.zeros((b, s, e, capacity), jnp.float32)
+        combine = jnp.zeros((b, s, e, capacity), jnp.float32)
+        mask_sum = jnp.zeros((b, s, e), jnp.float32)
         # position counters must be shared across rounds so two rounds never assign the
         # same (expert, slot): accumulate assigned one-hots round by round
-        assigned = jnp.zeros((t, e), jnp.float32)
+        assigned = jnp.zeros((b, s, e), jnp.float32)
         for _ in range(self.top_k):
-            idx = jnp.argmax(remaining, axis=-1)  # [T]
-            onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [T,E]
-            gate = jnp.sum(probs * onehot, axis=-1)  # [T]
-            # slot position of each token within its expert, counting earlier rounds
-            pos = jnp.cumsum(onehot, axis=0) - 1 + jnp.sum(assigned, axis=0)[None, :]
-            pos = jnp.sum(pos * onehot, axis=-1)  # [T]
+            idx = jnp.argmax(remaining, axis=-1)  # [G,S]
+            onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [G,S,E]
+            gate = jnp.sum(probs * onehot, axis=-1)  # [G,S]
+            # slot position of each token within its expert's per-group capacity,
+            # counting earlier rounds' kept assignments
+            pos = (jnp.cumsum(onehot, axis=1) - 1
+                   + jnp.sum(assigned, axis=1)[:, None, :])  # [G,S,E]
+            pos = jnp.sum(pos * onehot, axis=-1)  # [G,S]
             keep = (pos < capacity).astype(jnp.float32) * jnp.sum(onehot, axis=-1)
-            slot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # [T,C]
-            disp_k = (onehot * keep[:, None])[:, :, None] * slot[:, None, :]
+            slot = jax.nn.one_hot(pos.astype(jnp.int32), capacity, dtype=jnp.float32)
+            disp_k = (onehot * keep[..., None])[..., :, None] * slot[..., None, :]
             dispatch = dispatch + disp_k
-            combine = combine + disp_k * gate[:, None, None]
+            combine = combine + disp_k * gate[..., None, None]
             mask_sum = mask_sum + onehot
-            assigned = assigned + onehot * keep[:, None]
+            assigned = assigned + onehot * keep[..., None]
             remaining = remaining * (1.0 - onehot)
 
         aux = load_balance_loss(probs, mask_sum)
         self.sow("moe_losses", "load_balance", aux)
 
         if self.top_k > 1:  # renormalize combine weights over the chosen experts
-            denom = jnp.sum(combine, axis=(1, 2), keepdims=True)
+            denom = jnp.sum(combine, axis=(2, 3), keepdims=True)
             combine = combine / jnp.maximum(denom, 1e-9)
 
         fc_init = nn.initializers.normal(stddev=(2 * self.width) ** -0.5)
@@ -112,11 +119,14 @@ class MoEMLP(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (e, w), jnp.float32)
 
         cd = self.dtype
-        xe = jnp.einsum("tec,tw->ecw", dispatch.astype(cd), xt.astype(cd))  # all-to-all in
-        h = act(jnp.einsum("ecw,ewh->ech", xe, w1.astype(cd)) + b1.astype(cd)[:, None])
-        ye = jnp.einsum("ech,ehw->ecw", h, w2.astype(cd)) + b2.astype(cd)[:, None]
-        yt = jnp.einsum("tec,ecw->tw", combine.astype(cd), ye)  # all-to-all back
-        return yt.reshape(b, s, w)
+        # all-to-all in: [G,S,E,C]x[G,S,W] -> [G,E,C,W] (g on 'data', e on 'expert')
+        xe = jnp.einsum("gsec,gsw->gecw", dispatch.astype(cd), x.astype(cd))
+        h = act(jnp.einsum("gecw,ewh->gech", xe, w1.astype(cd))
+                + b1.astype(cd)[None, :, None, :])
+        ye = (jnp.einsum("gech,ehw->gecw", h, w2.astype(cd))
+              + b2.astype(cd)[None, :, None, :])
+        # all-to-all back: [G,S,E,C]x[G,E,C,W] -> [G,S,W]
+        return jnp.einsum("gsec,gecw->gsw", combine.astype(cd), ye)
 
 
 def collect_moe_losses(mutated_vars) -> jnp.ndarray:

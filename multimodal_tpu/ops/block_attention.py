@@ -625,6 +625,12 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
     fused_ln = (
         ln_scale is not None
         and (ln_env == "1" or (ln_env != "0" and s > 128))
+        # the LN kernel pair only has the whole-group [G*S,W] form (fwd LN + stacked
+        # bwd both collapse the group); at S>128 that requires the 16-aligned group
+        # collapse to be available — with MMTPU_BLOCK_ATTN_NO_LARGE_GROUP set, fall
+        # back to the XLA LN pre-pass + per-image/streaming kernels instead of running
+        # the collapse unaligned (the Mosaic-pathological configuration)
+        and (s <= 128 or _group_proj_enabled(s + (-s) % 16))
         and os.environ.get("MMTPU_BLOCK_ATTN_BWD") != "xla"
         and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
     )

@@ -44,8 +44,12 @@ def _block_attn(q, k, v, q_pos, k_pos, causal: bool):
         kp = k_pos + jnp.arange(sk)
         logits = jnp.where((qp[:, None] >= kp[None, :])[None, None], logits, NEG_INF)
     m = jnp.max(logits, axis=-1)  # [B,H,Sq]
-    m = jnp.maximum(m, NEG_INF)  # fully-masked rows stay finite
     p = jnp.exp(logits - m[..., None])
+    # a FULLY-masked row has m = NEG_INF and p = exp(0) = 1 junk; zero it explicitly so
+    # the block contributes (m=NEG_INF, l=0, o=0) and the accumulator combine is correct
+    # for any block visit order (every causal row still sees >=1 valid key overall: the
+    # diagonal block)
+    p = jnp.where(logits > 0.5 * NEG_INF, p, 0.0)
     l = jnp.sum(p, axis=-1)
     o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)

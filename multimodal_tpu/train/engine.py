@@ -263,19 +263,31 @@ def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
     kw.pop("local_loss", None)
     kw.pop("contrastive_impl", None)
     kw.pop("chunk_size", None)
+    moe_aux_weight = kw.pop("moe_aux_weight", 0.01)
+    has_moe = getattr(getattr(model, "cfg", None), "vision", None) is not None and (
+        model.cfg.vision.moe_experts > 0
+    )
     micro = jax.tree_util.tree_map(
         lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]), batch
     )
     rngs = jax.random.split(rng, accum_steps)
 
     def encode(p, mb, r):
-        out = model.apply(p, batch_images(mb), mb["text"], train=True,
-                          rngs={"patch_dropout": r})
-        return out["image_features"], out["text_features"], out["logit_scale"]
+        if has_moe:
+            from multimodal_tpu.models.moe import collect_moe_losses
+
+            out, mutated = model.apply(p, batch_images(mb), mb["text"], train=True,
+                                       rngs={"patch_dropout": r}, mutable=["moe_losses"])
+            aux = collect_moe_losses(mutated)
+        else:
+            out = model.apply(p, batch_images(mb), mb["text"], train=True,
+                              rngs={"patch_dropout": r})
+            aux = jnp.float32(0.0)
+        return out["image_features"], out["text_features"], out["logit_scale"], aux
 
     def phase1(carry, xs):
         mb, r = xs
-        fi, ft, _ = encode(params, mb, r)
+        fi, ft, _, _ = encode(params, mb, r)
         return carry, (fi, ft)
 
     _, (bank_i, bank_t) = jax.lax.scan(phase1, None, (micro, rngs))  # [k, Bm, E]
@@ -283,7 +295,7 @@ def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
     bank_t = jax.lax.stop_gradient(bank_t)
 
     def loss_for_micro(p, mb, r, idx):
-        fi, ft, ls = encode(p, mb, r)
+        fi, ft, ls, aux = encode(p, mb, r)
         all_i = jax.lax.dynamic_update_index_in_dim(bank_i, fi, idx, 0).reshape(
             -1, fi.shape[-1]
         )
@@ -294,19 +306,32 @@ def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
             all_i, all_t, ls,
             label_smoothing=label_smoothing, normalize=False, axis_name=axis_name, **kw,
         )
-        return loss, ls
+        # full-batch aux = mean of per-micro auxes, so weight each by 1/accum_steps
+        # (grads here are summed, not averaged) to keep the accumulated grad exact
+        loss = loss + moe_aux_weight * aux / accum_steps
+        return loss, (ls, aux)
 
     def phase2(carry, xs):
         g_acc, l_acc = carry
         mb, r, idx = xs
-        (loss, ls), g = jax.value_and_grad(loss_for_micro, has_aux=True)(params, mb, r, idx)
-        return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + loss), ls
+        (loss, (ls, aux)), g = jax.value_and_grad(loss_for_micro, has_aux=True)(
+            params, mb, r, idx
+        )
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + loss), (ls, aux)
 
     zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-    (g_sum, loss_sum), ls = jax.lax.scan(
+    (g_sum, loss_sum), (ls, auxes) = jax.lax.scan(
         phase2, (zero, 0.0), (micro, rngs, jnp.arange(accum_steps))
     )
-    metrics = {"loss": loss_sum / accum_steps, "logit_scale": ls[-1]}
+    loss_report = loss_sum / accum_steps
+    if has_moe:
+        # loss_sum/k carries only weight*mean(aux)/k of the aux term; top it up so the
+        # reported loss matches the non-accumulated path's loss + weight*aux
+        mean_aux = jnp.mean(auxes)
+        loss_report = loss_report + moe_aux_weight * mean_aux * (accum_steps - 1) / accum_steps
+    metrics = {"loss": loss_report, "logit_scale": ls[-1]}
+    if has_moe:
+        metrics["moe_aux_loss"] = mean_aux
     return g_sum, metrics  # grads are exact full-batch grads; no averaging (sum of chain parts)
 
 
@@ -332,6 +357,17 @@ def make_train_step(
     parallel.tp.tp_state_shardings) — enables tensor parallelism over a ('data','model')
     mesh via GSPMD propagation; mutually exclusive with use_shard_map."""
     loss_fn = make_loss_fn(model, loss_type, loss_kwargs)
+
+    if feature_cached_accum and accum_steps > 1:
+        # the cached-bank loss is the dense full-bank InfoNCE; a memory-bounded
+        # contrastive form would be silently replaced by the dense one — reject instead
+        lk = loss_kwargs or {}
+        if lk.get("contrastive_impl") not in (None, "dense") or lk.get("local_loss"):
+            raise ValueError(
+                "feature-cached accumulation computes the dense full-bank CLIP loss and "
+                "does not support --contrastive-impl chunked/ring or --local-loss — "
+                "drop --feature-cached-accum or the sharded contrastive options"
+            )
 
     def grads_and_metrics(params, batch, rng, axis_name):
         if feature_cached_accum and accum_steps > 1:

@@ -129,3 +129,57 @@ def test_fsdp_on_hybrid_mesh_descends():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_fsdp_checkpoint_roundtrip_and_reshard(tmp_path):
+    """Production elasticity: an FSDP-sharded TrainState saves through the CheckpointManager
+    and restores (a) back to the same sharded layout and (b) onto a DIFFERENT topology
+    (replicated template) — values identical both ways, shardings taken from the template."""
+    from multimodal_tpu.train import CheckpointManager
+
+    mesh = create_mesh()
+    model, state, tx = _setup()
+    shardings = fsdp_state_shardings(state, mesh, min_size=1024)
+    state = jax.device_put(state, shardings)
+
+    # move off the init point so the optimizer state is non-trivial
+    step = make_train_step(model, tx, loss_type="clip", mesh=mesh,
+                           state_shardings=shardings, donate=False)
+    state, _ = step(state, shard_batch(_batch(model), mesh), jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, metadata={"epoch": 1})
+    mgr.wait()
+
+    kernel_path = lambda s: s.params["params"]["visual_transformer"]["resblock_0"]["mlp"][  # noqa: E731
+        "c_fc"]["kernel"]
+
+    # (a) restore to the sharded layout: template = abstract arrays with FSDP shardings
+    template = jax.tree_util.tree_map(
+        lambda x, sh: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+        state, shardings)
+    restored, meta = mgr.restore(template)
+    assert meta == {"epoch": 1}
+    assert any(s == "data" for s in kernel_path(restored).sharding.spec)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(kernel_path(restored))),
+        np.asarray(jax.device_get(kernel_path(state))))
+    assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
+
+    # (b) restore the SAME checkpoint replicated (topology change on resume)
+    repl_template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=jax.sharding.NamedSharding(mesh, P())),
+        state)
+    restored_r, _ = mgr.restore(repl_template)
+    assert all(s is None for s in (kernel_path(restored_r).sharding.spec or [None]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(kernel_path(restored_r))),
+        np.asarray(jax.device_get(kernel_path(state))))
+    # and the restored replicated state can continue training
+    step_r = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False)
+    restored_r, m = step_r(restored_r, shard_batch(_batch(model), mesh),
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    mgr.close()

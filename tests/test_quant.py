@@ -95,3 +95,51 @@ def test_quantized_embedder_end_to_end():
     assert fi.shape == (13, c.embed_dim) and ft.shape == (13, c.embed_dim)
     assert np.min(_cosine(fi, emb_f.embed_images(images))) > 0.99
     assert np.min(_cosine(ft, emb_f.embed_tokens(tokens))) > 0.99
+
+
+def test_quantize_rejects_unsupported_block_structure():
+    """Configs whose blocks carry structure the quantized forward doesn't implement
+    (LayerScale, scaled-cosine attention, head scales, MoE) must be rejected at
+    conversion time, not silently produce wrong embeddings."""
+    import dataclasses
+
+    import pytest
+
+    base = create_model("tiny-test")
+    params = init_params(base)
+    cfg = base.cfg
+    for field, value in (("ls_init_value", 1e-4), ("scaled_cosine", True),
+                         ("scale_heads", True), ("moe_experts", 4)):
+        bad = dataclasses.replace(cfg, vision=dataclasses.replace(cfg.vision,
+                                                                  **{field: value}))
+        with pytest.raises(AssertionError, match=field):
+            quantize_clip_params(params, bad)
+    with pytest.raises(AssertionError, match="activation"):
+        quantize_clip_params(params, dataclasses.replace(cfg, act="relu"))
+
+
+def test_quantized_gelu_and_gap_configs_track_f32():
+    """The two cheap config extensions (act='gelu', global_average_pool) stay accurate."""
+    import dataclasses
+
+    base = create_model("tiny-test")
+    cfg = dataclasses.replace(
+        base.cfg, act="gelu",
+        vision=dataclasses.replace(base.cfg.vision, global_average_pool=True),
+    )
+    from multimodal_tpu.models.clip import CLIP
+
+    model = CLIP(cfg, dtype=jnp.float32)
+    params = init_params(model)
+    qp = quantize_clip_params(params, cfg)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(
+        rng.normal(size=(5, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    tokens = jnp.asarray(
+        rng.integers(1, cfg.text.vocab_size - 1, (5, cfg.text.context_length)), jnp.int32)
+    fi_q = np.asarray(encode_image_q(qp, cfg, images))
+    ft_q = np.asarray(encode_text_q(qp, cfg, tokens))
+    fi = np.asarray(model.apply(params, images, tokens)["image_features"])
+    ft = np.asarray(model.apply(params, images, tokens)["text_features"])
+    assert np.min(_cosine(fi_q, fi)) > 0.99
+    assert np.min(_cosine(ft_q, ft)) > 0.99

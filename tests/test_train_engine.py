@@ -144,6 +144,44 @@ def test_feature_cached_accum_matches_full_batch_gradient(setup):
         )
 
 
+def test_feature_cached_accum_rejects_sharded_contrastive(setup):
+    """The cached-bank loss is dense-only; a chunked/ring/local-loss request must error,
+    not silently fall back to the dense form (the memory blow-up the user opted out of)."""
+    model, _, _, tx = setup
+    for bad in ({"contrastive_impl": "ring"}, {"contrastive_impl": "chunked"},
+                {"local_loss": True}):
+        with pytest.raises(ValueError, match="feature-cached"):
+            make_train_step(model, tx, loss_type="clip", loss_kwargs=bad,
+                            accum_steps=4, feature_cached_accum=True, donate=False)
+    # dense defaults (incl. the always-present chunk_size) stay accepted
+    make_train_step(
+        model, tx, loss_type="clip",
+        loss_kwargs={"contrastive_impl": "dense", "local_loss": False, "chunk_size": 1024},
+        accum_steps=4, feature_cached_accum=True, donate=False,
+    )
+
+
+def test_feature_cached_accum_collects_moe_aux_loss():
+    """MoE load-balance terms must survive feature-cached accumulation (sow needs the
+    mutable collection) and the router must receive a balance gradient."""
+    import optax
+
+    model = create_model("tiny-test-moe")
+    params = init_params(model)
+    tx = optax.sgd(0.1)
+    step = make_train_step(model, tx, loss_type="clip", accum_steps=2,
+                           feature_cached_accum=True, donate=False)
+    batch = make_batch(model, batch=8)
+    state, metrics = step(TrainState.create(params, tx), batch, jax.random.PRNGKey(0))
+    assert "moe_aux_loss" in metrics and float(metrics["moe_aux_loss"]) > 0.0
+    # router weights moved (aux-loss gradient flows: the contrastive loss alone gives the
+    # router only the combine-weight gradient, the balance term is what spreads experts)
+    r0 = params["params"]["visual_transformer"]["resblock_1"]["moe_mlp"]["router"]["kernel"]
+    r1 = state.params["params"]["visual_transformer"]["resblock_1"]["moe_mlp"]["router"][
+        "kernel"]
+    assert not np.allclose(np.asarray(r0), np.asarray(r1))
+
+
 def test_logit_scale_clamp():
     params = {"params": {"logit_scale": jnp.float32(9.0), "w": jnp.ones((2, 2))}}
     clamped = _clamp_logit_scale(params)
