@@ -282,8 +282,16 @@ class CLIP(nn.Module):
                 (c.text.width, c.embed_dim),
             )
         self.logit_scale = self.param(
-            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), ()
+            "logit_scale",
+            nn.initializers.constant(
+                LOGIT_SCALE_INIT if c.logit_scale_init is None else c.logit_scale_init
+            ),
+            (),
         )
+        if c.logit_bias_init is not None:  # SigLIP pairwise-sigmoid head
+            self.logit_bias = self.param(
+                "logit_bias", nn.initializers.constant(c.logit_bias_init), ()
+            )
 
     def _pool_image(self, x):
         """CLS (default), mean-pool, or attentional pooling (model.py:33-36,76-80)."""
@@ -324,11 +332,14 @@ class CLIP(nn.Module):
         return feats
 
     def __call__(self, images, tokens, normalize: bool = True, train: bool = False):
-        return {
+        out = {
             "image_features": self.encode_image(images, normalize=normalize, train=train),
             "text_features": self.encode_text(tokens, normalize=normalize),
             "logit_scale": self.logit_scale,
         }
+        if self.cfg.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias
+        return out
 
 
 class VariationalCLIP(nn.Module):

@@ -58,6 +58,11 @@ class CLIPConfig:
     # MLP activation: "quick_gelu" (OpenAI CLIP) or "gelu" (OpenCLIP LAION-style configs;
     # the reference forces the former via --force-quick-gelu, factory.py:137-140)
     act: str = "quick_gelu"
+    # SigLIP-style pairwise-sigmoid head (beyond reference): a learnable logit bias next
+    # to logit_scale. None = no bias param (softmax CLIP family); SigLIP's published init
+    # is bias=-10 with logit_scale=ln(10) (losses/siglip_loss.py)
+    logit_bias_init: float | None = None
+    logit_scale_init: float | None = None  # None = CLIP's ln(1/0.07)
 
     def __post_init__(self):
         if self.share_trunk:

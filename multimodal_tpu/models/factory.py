@@ -27,12 +27,17 @@ def create_model(
     remat: Optional[bool] = None,
     patch_dropout: Optional[float] = None,
     force_quick_gelu: bool = False,
+    siglip: bool = False,
 ):
     import dataclasses
 
     cfg = get_model_config(name)
     if remat is not None:
         cfg = dataclasses.replace(cfg, remat=remat)
+    if siglip:  # SigLIP head: learnable pairwise-sigmoid bias, published inits
+        cfg = dataclasses.replace(
+            cfg, logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0))
+        )
     if force_quick_gelu:  # reference factory.py:137-140 / params.py --force-quick-gelu
         cfg = dataclasses.replace(cfg, act="quick_gelu")
     if patch_dropout is not None:  # --force-patch-dropout (reference params.py:246-251)

@@ -84,7 +84,8 @@ def make_loss_fn(
 ) -> Callable:
     """Build loss_fn(params, batch, rng, axis_name) -> (loss, metrics) for a loss family.
 
-    loss_type: 'clip' | 'cloob' | 'align' | 'vclip' (the four reference losses, SURVEY §2a).
+    loss_type: 'clip' | 'cloob' | 'align' | 'vclip' (the four reference losses, SURVEY §2a)
+    or 'siglip' (pairwise sigmoid, beyond reference).
     """
     kw = dict(loss_kwargs or {})
 
@@ -144,6 +145,33 @@ def make_loss_fn(
                 metrics["moe_aux_loss"] = moe_aux
                 metrics["loss"] = loss
             return loss, metrics
+
+        return loss_fn
+
+    if loss_type == "siglip":
+        # SigLIP (beyond reference): pairwise sigmoid; requires a model built with
+        # logit_bias_init (factory: create_model(..., siglip=True)). Inside shard_map the
+        # loss streams text blocks around the ring — exact with no all-gather.
+        if getattr(getattr(model, "cfg", None), "logit_bias_init", None) is None:
+            raise ValueError(
+                "loss_type='siglip' needs a model with a logit_bias param — create it "
+                "with create_model(..., siglip=True) or cfg.logit_bias_init set"
+            )
+
+        def loss_fn(params, batch, rng, axis_name=None):
+            out = model.apply(
+                params, batch_images(batch), batch["text"], train=True,
+                rngs={"patch_dropout": rng},
+            )
+            from multimodal_tpu.losses.siglip_loss import siglip_loss
+
+            loss = siglip_loss(
+                out["image_features"], out["text_features"],
+                out["logit_scale"], out["logit_bias"],
+                normalize=False, axis_name=axis_name, **kw,
+            )
+            return loss, {"loss": loss, "logit_scale": out["logit_scale"],
+                          "logit_bias": out["logit_bias"]}
 
         return loss_fn
 
@@ -407,7 +435,10 @@ def make_train_step(
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_params = _clamp_logit_scale(new_params)
+        if loss_type != "siglip":
+            # CLIP-family ln(100) temperature clamp (train.py:181-182); SigLIP's
+            # temperature runs free by design (it converges near exp(t') ~ 100-120)
+            new_params = _clamp_logit_scale(new_params)
         # the optimizer's single norm pass already produced this — no recompute
         from multimodal_tpu.train.optimizer import extract_grad_norm
 

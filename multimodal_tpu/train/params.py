@@ -139,7 +139,8 @@ def parse_args(args=None):
 
     # ------------------------------------------------------------------ loss
     g = parser.add_argument_group("loss")
-    g.add_argument("--loss", choices=["clip", "cloob", "align", "vclip"], default="clip")
+    g.add_argument("--loss", choices=["clip", "cloob", "align", "vclip", "siglip"],
+                   default="clip")
     g.add_argument("--clip-loss", action="store_true",
                    help="force plain InfoNCE (reference --clip-loss); same as --loss clip")
     g.add_argument("--local-loss", action="store_true", default=True,
@@ -284,6 +285,9 @@ def parse_args(args=None):
     if ns.clip_loss:
         ns.loss = "clip"
     if ns.variational:
+        if ns.loss == "siglip":
+            parser.error("--loss siglip is for the standard CLIP family "
+                         "(drop --variational)")
         ns.loss = "vclip"
 
     # resolve the shard_map mode: ring streaming needs manual collectives (ppermute)
@@ -295,6 +299,9 @@ def parse_args(args=None):
     if ns.contrastive_impl == "ring" and not ns.use_shard_map:
         parser.error("--contrastive-impl ring requires shard_map "
                      "(drop --use-shard-map off)")
+    if ns.loss == "siglip" and ns.feature_cached_accum:
+        parser.error("--feature-cached-accum is a CLIP-InfoNCE feature "
+                     "(SigLIP needs no feature cache: use plain --accum-freq)")
     if ns.use_shard_map and ns.tensor_parallel > 1:
         parser.error("--use-shard-map and --tensor-parallel are exclusive "
                      "(TP shards params via GSPMD propagation)")

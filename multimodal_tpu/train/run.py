@@ -65,6 +65,8 @@ def _loss_kwargs(args) -> dict:
             "var_reg_weight": args.variance_reg_weight,
             "use_mean_only": args.use_mean_only,
         }
+    if args.loss == "siglip":
+        return {}  # ring vs dense is decided by use_shard_map (the loss takes axis_name)
     raise ValueError(args.loss)
 
 
@@ -538,6 +540,7 @@ def main(argv=None):
         remat=args.grad_checkpointing or None,
         patch_dropout=args.force_patch_dropout,
         force_quick_gelu=args.force_quick_gelu,
+        siglip=args.loss == "siglip",
     )
     params = init_params(model, jax.random.PRNGKey(args.seed))
     if args.pretrained:
