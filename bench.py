@@ -78,7 +78,19 @@ def main():
     from multimodal_tpu.parallel import create_mesh, shard_batch
     from multimodal_tpu.train import TrainState, make_optimizer, make_schedule, make_train_step
 
-    dev = jax.devices()[0]
+    # the remote-chip tunnel can be transiently unavailable; a failed backend init is
+    # cached for the process lifetime, so retry by re-exec (bounded), not in-process
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        tries = int(os.environ.get("MMTPU_BENCH_RETRY", "0"))
+        if tries >= 3:
+            raise
+        print(f"[bench] backend init failed ({e}); retry {tries + 1}/3 in 60s",
+              file=sys.stderr)
+        time.sleep(60)
+        os.environ["MMTPU_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     print(f"[bench] platform={dev.platform} kind={dev.device_kind} "
           f"n_devices={len(jax.devices())} batch={batch} steps={steps}", file=sys.stderr)
 
