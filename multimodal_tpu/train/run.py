@@ -254,12 +254,22 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
         return {}
     fi, ft = np.concatenate(feats_i), np.concatenate(feats_t)
     metrics = get_clip_metrics(fi, ft, float(jnp.exp(jnp.asarray(ls))))
-    # whole-val-set contrastive loss (train.py:300-325's cumulative val loss)
-    from multimodal_tpu.losses import clip_loss
+    # whole-val-set contrastive loss (train.py:300-325's cumulative val loss); a model
+    # with a SigLIP head is scored with its own pairwise-sigmoid loss for consistency
+    lb = params.get("params", {}).get("logit_bias") if isinstance(params, dict) else None
+    if lb is not None:
+        from multimodal_tpu.losses import siglip_loss
 
-    metrics["val_loss"] = float(
-        clip_loss(jnp.asarray(fi), jnp.asarray(ft), jnp.asarray(ls), normalize=False)
-    )
+        metrics["val_loss"] = float(siglip_loss(
+            jnp.asarray(fi), jnp.asarray(ft), jnp.asarray(ls), jnp.asarray(lb),
+            normalize=False,
+        ))
+    else:
+        from multimodal_tpu.losses import clip_loss
+
+        metrics["val_loss"] = float(
+            clip_loss(jnp.asarray(fi), jnp.asarray(ft), jnp.asarray(ls), normalize=False)
+        )
     # representation-quality probes (metrics.ipynb cells 25-26): k-NN-angle uniformity and
     # the image-vs-text linear-separability modality-gap measure
     if len(fi) >= 16:
@@ -591,10 +601,19 @@ def main(argv=None):
     data_val = None
     if args.val_data:
         val_type = "webdataset" if ".tar" in args.val_data else dataset_type
+        val_kw = {"image_size": data_kw["image_size"],
+                  "context_length": data_kw["context_length"]}
+        if val_type == "synthetic":
+            # same backend kwargs as the train split: without vocab_size the fake
+            # tokens index past a small model's embed table (NaN-fill gathers), and
+            # without num_samples the val set balloons to the 12800-sample default
+            val_kw.update(
+                num_samples=args.val_num_samples or 10 * args.batch_size,
+                vocab_size=model.cfg.text.vocab_size,
+            )
         val_src = build_dataset(
             val_type, path=args.val_data, batch_size=args.batch_size, train=False,
-            seed=args.seed, num_hosts=num_hosts, host_id=host_id,
-            image_size=data_kw["image_size"], context_length=data_kw["context_length"],
+            seed=args.seed, num_hosts=num_hosts, host_id=host_id, **val_kw,
         )
         data_val = DataInfo(val_src, sharding=data_sharding(mesh))
 

@@ -37,6 +37,22 @@ def test_cli_train_checkpoint_resume(tmp_path):
     assert records2[-1]["epoch"] == 1
 
 
+def test_cli_synthetic_val_split_gets_model_vocab(tmp_path):
+    """--val-data synthetic must size the fake tokens to the MODEL's vocab (and honor
+    --val-num-samples): an unforwarded vocab_size indexes past a small embed table,
+    which gathers NaN-fill and poisons every val metric."""
+    rc = main(BASE + [
+        "--epochs", "1", "--logs", str(tmp_path), "--name", "val",
+        "--val-data", "synthetic", "--val-num-samples", "32",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "val" / "results.jsonl")]
+    evals = [r for r in records if "val_loss" in r]
+    assert evals and np.isfinite(evals[-1]["val_loss"])
+    # 32 val samples -> mean retrieval rank can be at most 32
+    assert evals[-1]["image_to_text_mean_rank"] <= 32
+
+
 def test_cli_vclip_with_kl_annealing(tmp_path):
     rc = main(BASE + [
         "--epochs", "1", "--logs", str(tmp_path), "--name", "v",

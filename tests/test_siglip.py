@@ -153,6 +153,35 @@ def test_siglip_ring_step_matches_gspmd_step(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_evaluate_scores_siglip_model_with_sigmoid_val_loss(mesh):
+    """run.py:evaluate picks the pairwise-sigmoid val loss when the model has a
+    logit_bias head (and the softmax CLIP loss otherwise)."""
+    from multimodal_tpu.train.run import evaluate
+
+    class _Args:
+        pass
+
+    model = create_model("tiny-test", siglip=True)
+    params = init_params(model)
+    data_val = [_batch(model, b=16)]
+    m = evaluate(model, params, data_val, mesh, epoch=0, args=_Args())
+    assert np.isfinite(m["val_loss"])
+    # cross-check against the loss fn on the same (normalized) features
+    p = params["params"]
+    want = float(siglip_loss(
+        *_features_from(model, params, data_val[0]),
+        p["logit_scale"], p["logit_bias"], normalize=True,
+    ))
+    np.testing.assert_allclose(m["val_loss"], want, rtol=1e-4)
+
+
+def _features_from(model, params, batch):
+    from multimodal_tpu.train.engine import batch_images
+
+    out = model.apply(params, batch_images(batch), batch["text"])
+    return out["image_features"], out["text_features"]
+
+
 def test_engine_rejects_siglip_without_bias_param():
     model = create_model("tiny-test")  # no logit_bias
     tx = make_optimizer(make_schedule("cosine", 1e-3, 2, 100))
