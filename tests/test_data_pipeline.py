@@ -277,3 +277,22 @@ def test_datainfo_epoch_plumbs():
     assert src.epoch == 3
     assert info.num_batches == 4
     assert len(list(info)) == 4
+
+
+def test_bench_pipeline_tool(capsys):
+    """The input-pipeline benchmark runs every stage and reports finite rates."""
+    import json as _json
+
+    from multimodal_tpu.data.bench_pipeline import main as bench_main
+
+    summary = bench_main(["--num-samples", "64", "--num-shards", "2",
+                          "--batch-size", "16", "--source-size", "96"])
+    assert np.isfinite(summary["e2e_samples_per_s"])
+    assert summary["chips_fed_by_this_host"] >= 0
+    stages = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+              if l.startswith("{")]
+    names = {s["stage"] for s in stages}
+    assert {"tar_iterate", "tokenize", "wds_reader_e2e", "summary"} <= names
+    for s in stages:
+        if "value" in s:
+            assert np.isfinite(s["value"]), s
