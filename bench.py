@@ -83,8 +83,10 @@ def main():
     try:
         dev = jax.devices()[0]
     except RuntimeError as e:
+        # only transient outages (gRPC UNAVAILABLE from the tunnel) are worth retrying;
+        # deterministic init errors (bad platform, missing driver) should fail fast
         tries = int(os.environ.get("MMTPU_BENCH_RETRY", "0"))
-        if tries >= 3:
+        if tries >= 3 or "UNAVAILABLE" not in str(e):
             raise
         print(f"[bench] backend init failed ({e}); retry {tries + 1}/3 in 60s",
               file=sys.stderr)

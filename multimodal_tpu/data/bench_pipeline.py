@@ -97,83 +97,88 @@ def main(argv=None):
         tmp = tempfile.TemporaryDirectory(prefix="mmtpu_bench_")
         pattern = _make_shards(tmp.name, args.num_samples, args.num_shards,
                                args.source_size, args.quality)
-    shards, _ = expand_shards(pattern, None)
-    print(f"[bench_pipeline] shards={len(shards)} native={nat.available()} "
-          f"cpus={ncpu} batch={args.batch_size}", file=sys.stderr)
+    try:
+        shards, _ = expand_shards(pattern, None)
+        print(f"[bench_pipeline] shards={len(shards)} native={nat.available()} "
+              f"cpus={ncpu} batch={args.batch_size}", file=sys.stderr)
 
-    # -- stage 1: raw tar iteration (index + read, no decode) ----------------------
-    t0 = time.perf_counter()
-    n = 0
-    nbytes = 0
-    jpegs, texts = [], []
-    for sample in iter_tar_samples(shards[0]):
-        n += 1
-        nbytes += sum(len(v) for v in sample.values())
-        if len(jpegs) < args.batch_size:
-            jpegs.append(sample.get("jpg") or sample.get("jpeg") or sample.get("png"))
-            texts.append((sample.get("txt") or b"").decode("utf-8", "replace"))
-    dt = time.perf_counter() - t0
-    _emit("tar_iterate", n / dt, "samples/s", mb_per_s=round(nbytes / dt / 1e6, 1))
+        # -- stage 1: raw tar iteration (index + read, no decode) ------------------
+        t0 = time.perf_counter()
+        n = 0
+        nbytes = 0
+        jpegs, texts = [], []
+        for sample in iter_tar_samples(shards[0]):
+            n += 1
+            nbytes += sum(len(v) for v in sample.values())
+            img = sample.get("jpg") or sample.get("jpeg")
+            # the native decoder is JPEG-only (bindings.py: route others via is_jpeg)
+            if img and nat.is_jpeg(img) and len(jpegs) < args.batch_size:
+                jpegs.append(img)
+                texts.append((sample.get("txt") or b"").decode("utf-8", "replace"))
+        dt = time.perf_counter() - t0
+        _emit("tar_iterate", n / dt, "samples/s", mb_per_s=round(nbytes / dt / 1e6, 1))
 
-    # pad the probe batch up to batch_size
-    while len(jpegs) < args.batch_size:
-        jpegs.append(jpegs[len(jpegs) % max(n, 1)])
-        texts.append(texts[len(texts) % max(n, 1)])
+        # pad the probe batch up to batch_size by cycling the real samples
+        base = len(jpegs)
+        while jpegs and len(jpegs) < args.batch_size:
+            jpegs.append(jpegs[len(jpegs) % base])
+            texts.append(texts[len(texts) % base])
 
-    # -- stage 2: batched JPEG decode ------------------------------------------------
-    results = {}
-    if nat.available():
-        for train in (False, True):
-            for th in threads:
-                nat.decode_batch(jpegs[:32], image_size=args.image_size, train=train,
-                                 num_threads=th)  # warm
-                t0 = time.perf_counter()
-                reps = 3
-                for _ in range(reps):
-                    out, ok = nat.decode_batch(jpegs, image_size=args.image_size,
-                                               train=train, num_threads=th)
-                dt = (time.perf_counter() - t0) / reps
-                rate = len(jpegs) / dt
-                results[(train, th)] = rate
-                _emit("jpeg_decode", rate, "images/s",
-                      mode="train" if train else "eval", threads=th,
-                      failed=int((~ok).sum()))
-    else:
-        print("[bench_pipeline] native pipeline unavailable; decode stage skipped",
-              file=sys.stderr)
+        # -- stage 2: batched JPEG decode -------------------------------------------
+        if nat.available() and jpegs:
+            for train in (False, True):
+                for th in threads:
+                    nat.decode_batch(jpegs[:32], image_size=args.image_size,
+                                     train=train, num_threads=th)  # warm
+                    t0 = time.perf_counter()
+                    reps = 3
+                    for _ in range(reps):
+                        out, ok = nat.decode_batch(jpegs, image_size=args.image_size,
+                                                   train=train, num_threads=th)
+                    dt = (time.perf_counter() - t0) / reps
+                    _emit("jpeg_decode", len(jpegs) / dt, "images/s",
+                          mode="train" if train else "eval", threads=th,
+                          failed=int((~ok).sum()))
+        else:
+            print("[bench_pipeline] decode stage skipped "
+                  f"(native={nat.available()}, jpeg probes={len(jpegs)})",
+                  file=sys.stderr)
 
-    # -- stage 3: BPE tokenization ---------------------------------------------------
-    batch_texts = texts * max(1, 4096 // max(len(texts), 1))
-    t0 = time.perf_counter()
-    tok.tokenize(batch_texts)
-    dt = time.perf_counter() - t0
-    _emit("tokenize", len(batch_texts) / dt, "texts/s", native=nat.available())
+        # -- stage 3: BPE tokenization -----------------------------------------------
+        batch_texts = (texts or ["a photo of a cat"]) * max(
+            1, 4096 // max(len(texts), 1))
+        t0 = time.perf_counter()
+        tok.tokenize(batch_texts)
+        dt = time.perf_counter() - t0
+        _emit("tokenize", len(batch_texts) / dt, "texts/s", native=nat.available())
 
-    # -- stage 4: assembled reader end to end ----------------------------------------
-    reader = WdsReader(pattern, batch_size=args.batch_size, train=True,
-                       image_size=args.image_size, seed=0)
-    it = iter(reader)
-    next(it)  # warm: first batch pays shard open + shuffle fill
-    t0 = time.perf_counter()
-    batches = 0
-    for _ in it:
-        batches += 1
-    dt = time.perf_counter() - t0
-    e2e = batches * args.batch_size / dt if batches else float("nan")
-    _emit("wds_reader_e2e", e2e, "samples/s", batches=batches)
+        # -- stage 4: assembled reader end to end ------------------------------------
+        reader = WdsReader(pattern, batch_size=args.batch_size, train=True,
+                           image_size=args.image_size, seed=0)
+        it = iter(reader)
+        next(it, None)  # warm: first batch pays shard open + shuffle fill
+        t0 = time.perf_counter()
+        batches = 0
+        for _ in it:
+            batches += 1
+        dt = time.perf_counter() - t0
+        # needs >= 2 total batches to measure past the warm-up one
+        e2e = batches * args.batch_size / dt if batches else None
+        _emit("wds_reader_e2e", e2e if e2e is not None else 0.0, "samples/s",
+              batches=batches, measured=e2e is not None)
 
-    chips_fed = e2e / args.model_rate if np.isfinite(e2e) else 0.0
-    summary = {
-        "stage": "summary",
-        "e2e_samples_per_s": round(e2e, 1),
-        "model_rate_per_chip": args.model_rate,
-        "chips_fed_by_this_host": round(chips_fed, 2),
-        "cpus": ncpu,
-    }
-    print(json.dumps(summary))
-    if tmp is not None:
-        tmp.cleanup()
-    return summary
+        summary = {
+            "stage": "summary",
+            "e2e_samples_per_s": round(e2e, 1) if e2e is not None else None,
+            "model_rate_per_chip": args.model_rate,
+            "chips_fed_by_this_host": round(e2e / args.model_rate, 2) if e2e else 0.0,
+            "cpus": ncpu,
+        }
+        print(json.dumps(summary))
+        return summary
+    finally:
+        if tmp is not None:
+            tmp.cleanup()
 
 
 if __name__ == "__main__":

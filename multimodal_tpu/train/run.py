@@ -256,7 +256,10 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
     metrics = get_clip_metrics(fi, ft, float(jnp.exp(jnp.asarray(ls))))
     # whole-val-set contrastive loss (train.py:300-325's cumulative val loss); a model
     # with a SigLIP head is scored with its own pairwise-sigmoid loss for consistency
-    lb = params.get("params", {}).get("logit_bias") if isinstance(params, dict) else None
+    # (detect via the config, same source of truth as the engine's loss dispatch)
+    lb = (params["params"]["logit_bias"]
+          if getattr(getattr(model, "cfg", None), "logit_bias_init", None) is not None
+          else None)
     if lb is not None:
         from multimodal_tpu.losses import siglip_loss
 
@@ -611,6 +614,9 @@ def main(argv=None):
                 num_samples=args.val_num_samples or 10 * args.batch_size,
                 vocab_size=model.cfg.text.vocab_size,
             )
+        if val_type == "csv":
+            val_kw.update(img_key=args.csv_img_key, caption_key=args.csv_caption_key,
+                          sep=args.csv_separator)
         val_src = build_dataset(
             val_type, path=args.val_data, batch_size=args.batch_size, train=False,
             seed=args.seed, num_hosts=num_hosts, host_id=host_id, **val_kw,
