@@ -184,6 +184,10 @@ def parse_args(args=None):
     g.add_argument("--resume", default=None,
                    help="'latest' or a checkpoint step/path (run.py:139-171)")
     g.add_argument("--save-frequency", type=int, default=1, help="epochs between saves")
+    g.add_argument("--save-frequency-steps", type=int, default=0,
+                   help="also checkpoint every N steps WITHIN an epoch (0 = off); "
+                        "resume fast-forwards the data stream past trained batches — "
+                        "preemption-safe training (beyond reference)")
     g.add_argument("--save-most-recent", action="store_true", default=True)
     g.add_argument("--delete-previous-checkpoint", action="store_true",
                    help="keep only the newest checkpoint (run.py:438-441)")

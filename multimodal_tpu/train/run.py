@@ -426,9 +426,16 @@ def linear_probe_eval(model, params, args) -> dict:
 
 
 def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_devices,
-                    rng) -> tuple:
+                    rng, ckpt=None, skip_steps: int = 0) -> tuple:
     """Inner loop (train.py:65-239): iterate prefetched device batches through the jitted
-    step; meter batch/step time and samples/s; periodic logging."""
+    step; meter batch/step time and samples/s; periodic logging.
+
+    Beyond reference — preemption-safe mid-epoch checkpointing: with
+    --save-frequency-steps N and a ``ckpt`` manager, the state is saved every N steps
+    with mid_epoch metadata; on resume, ``skip_steps`` fast-forwards the (deterministic,
+    set_epoch-seeded) data stream past the already-trained batches. The per-step rng is
+    fold_in(fold_in(rng, epoch), i), so a resumed run replays the exact dropout/MC-sample
+    stream of an uninterrupted one."""
     batch_time = AverageMeter()
     data_time = AverageMeter()
     tput = ThroughputMeter(num_devices)
@@ -437,14 +444,25 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
     step_in_epoch = 0
     metrics = {}
     profiling = args.profile_steps > 0 and epoch == 0
+    if skip_steps:
+        log.info("mid-epoch resume: fast-forwarding %d batches of epoch %d",
+                 skip_steps, epoch)
+    save_every = getattr(args, "save_frequency_steps", 0) or 0
 
     for i, batch in enumerate(data_train):
+        if i < skip_steps:
+            end = time.perf_counter()
+            continue
         data_time.update(time.perf_counter() - end)
         if profiling and i == 1:
             jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
-        rng, sub = jax.random.split(rng)
+        sub = jax.random.fold_in(jax.random.fold_in(rng, epoch), i)
         state, metrics = step_fn(state, batch, sub)
         step_in_epoch += 1
+        if ckpt is not None and save_every and (i + 1) % save_every == 0:
+            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
+                      metadata={"epoch": epoch, "name": args.name,
+                                "mid_epoch": True, "step_in_epoch": i + 1})
         bsz = batch["text"].shape[0]
         tput.update(bsz)
         batch_time.update(time.perf_counter() - end)
@@ -690,6 +708,7 @@ def main(argv=None):
         async_save=args.async_checkpointing,
     )
     start_epoch = 0
+    resume_skip_steps = 0
     if args.resume:
         step = None if args.resume == "latest" else int(args.resume)
         restored, meta = ckpt.restore(jax.device_get(state), step=step)
@@ -697,8 +716,18 @@ def main(argv=None):
             state = jax.device_put(
                 restored, state_shardings if state_shardings is not None
                 else replicated_sharding(mesh))
-            start_epoch = (meta or {}).get("epoch", 0) + 1
-            log.info("resumed from step %s (epoch %d)", ckpt.latest_step(), start_epoch)
+            meta = meta or {}
+            if meta.get("mid_epoch"):
+                # preemption-safe resume: re-enter the interrupted epoch and fast-forward
+                # past the batches already trained (deterministic set_epoch data order)
+                start_epoch = meta.get("epoch", 0)
+                resume_skip_steps = meta.get("step_in_epoch", 0)
+                log.info("resumed mid-epoch from step %s (epoch %d, %d batches done)",
+                         ckpt.latest_step(), start_epoch, resume_skip_steps)
+            else:
+                start_epoch = meta.get("epoch", 0) + 1
+                log.info("resumed from step %s (epoch %d)", ckpt.latest_step(),
+                         start_epoch)
         else:
             log.info("no checkpoint found; starting fresh")
 
@@ -739,7 +768,8 @@ def main(argv=None):
             step_fn = build_step(epoch)
         t0 = time.perf_counter()
         state, losses, n_steps, rng = train_one_epoch(
-            step_fn, state, data_train, epoch, args, exp_logger, num_devices, rng
+            step_fn, state, data_train, epoch, args, exp_logger, num_devices, rng,
+            ckpt=ckpt, skip_steps=resume_skip_steps if epoch == start_epoch else 0,
         )
         log.info("epoch %d done: %d steps in %.1fs", epoch, n_steps,
                  time.perf_counter() - t0)
@@ -759,9 +789,12 @@ def main(argv=None):
                 exp_logger.log({"epoch": epoch, **rt}, step=int(jax.device_get(state.step)))
 
         if (epoch + 1) % args.save_frequency == 0 or epoch == args.epochs - 1:
-            ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
-                      metadata={"epoch": epoch, "name": args.name})
-            log.info("saved checkpoint at step %d", int(jax.device_get(state.step)))
+            cur = int(jax.device_get(state.step))
+            ckpt.wait()  # join any in-flight step-frequency save before the step check
+            if ckpt.latest_step() != cur:  # a step-frequency save may already sit here
+                ckpt.save(cur, jax.device_get(state),
+                          metadata={"epoch": epoch, "name": args.name})
+                log.info("saved checkpoint at step %d", cur)
 
     ckpt.wait()
     ckpt.close()

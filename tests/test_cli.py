@@ -37,6 +37,50 @@ def test_cli_train_checkpoint_resume(tmp_path):
     assert records2[-1]["epoch"] == 1
 
 
+def test_cli_midepoch_resume_matches_uninterrupted(tmp_path):
+    """Preemption-safe checkpointing: --save-frequency-steps saves mid-epoch; resuming
+    from a mid-epoch checkpoint fast-forwards the deterministic data stream and replays
+    the fold_in rng, reproducing the uninterrupted run's final params exactly."""
+    import shutil
+
+    import jax
+
+    # reference run: 2 epochs straight through (3 steps/epoch at 48/16)
+    assert main(BASE + ["--epochs", "2", "--logs", str(tmp_path), "--name", "full"]) == 0
+
+    # interrupted run: epoch 0 with a mid-epoch save at global step 2, then simulate
+    # preemption by deleting every checkpoint after it (incl. the epoch-end save)
+    assert main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "pre",
+                        "--save-frequency-steps", "2"]) == 0
+    ckpt_dir = tmp_path / "pre" / "checkpoints"
+    steps = sorted(int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit())
+    assert 2 in steps, f"expected a mid-epoch save at step 2, have {steps}"
+    for s in steps:
+        if s > 2:
+            shutil.rmtree(ckpt_dir / str(s))
+
+    # resume: should re-enter epoch 0 at batch 2, finish it, and run epoch 1
+    assert main(BASE + ["--epochs", "2", "--logs", str(tmp_path), "--name", "pre",
+                        "--resume", "latest"]) == 0
+
+    from multimodal_tpu.train.checkpoints import CheckpointManager
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.train import TrainState, make_optimizer, make_schedule
+
+    model = create_model("tiny-test")
+    tx = make_optimizer(make_schedule("cosine", 1e-3, 2, 100))
+    template = jax.device_get(TrainState.create(init_params(model), tx))
+    final = {}
+    for name in ("full", "pre"):
+        mgr = CheckpointManager(str(tmp_path / name / "checkpoints"))
+        assert mgr.latest_step() == 6, f"{name}: {mgr.all_steps()}"
+        final[name], _ = mgr.restore(template)
+        mgr.close()
+    for a, b in zip(jax.tree_util.tree_leaves(final["full"].params),
+                    jax.tree_util.tree_leaves(final["pre"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_cli_synthetic_val_split_gets_model_vocab(tmp_path):
     """--val-data synthetic must size the fake tokens to the MODEL's vocab (and honor
     --val-num-samples): an unforwarded vocab_size indexes past a small embed table,
