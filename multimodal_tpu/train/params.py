@@ -189,6 +189,10 @@ def parse_args(args=None):
                         "resume fast-forwards the data stream past trained batches — "
                         "preemption-safe training (beyond reference)")
     g.add_argument("--save-most-recent", action="store_true", default=True)
+    g.add_argument("--save-on-preemption", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="on SIGTERM (pod eviction), checkpoint mid-epoch and exit "
+                        "cleanly; resume with --resume latest (beyond reference)")
     g.add_argument("--delete-previous-checkpoint", action="store_true",
                    help="keep only the newest checkpoint (run.py:438-441)")
     g.add_argument("--async-checkpointing", action="store_true",

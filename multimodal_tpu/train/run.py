@@ -39,6 +39,22 @@ from multimodal_tpu.train.schedules import make_schedule
 
 log = logging.getLogger(__name__)
 
+# preemption flag: set by SIGTERM (the cloud TPU-pod eviction signal); the train loop
+# checks it after every step and checkpoints + exits cleanly (beyond reference)
+_PREEMPTED = threading.Event()
+
+
+def _install_preemption_handler():
+    import signal
+
+    def _on_sigterm(signum, frame):
+        _PREEMPTED.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. main() called from a test runner)
+        log.warning("not in main thread; SIGTERM preemption handler not installed")
+
 
 def _loss_kwargs(args) -> dict:
     if args.loss == "clip":
@@ -459,10 +475,16 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
         sub = jax.random.fold_in(jax.random.fold_in(rng, epoch), i)
         state, metrics = step_fn(state, batch, sub)
         step_in_epoch += 1
-        if ckpt is not None and save_every and (i + 1) % save_every == 0:
+        preempted = _PREEMPTED.is_set() and ckpt is not None
+        if ckpt is not None and ((save_every and (i + 1) % save_every == 0) or preempted):
             ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
                       metadata={"epoch": epoch, "name": args.name,
                                 "mid_epoch": True, "step_in_epoch": i + 1})
+        if preempted:
+            log.info("preemption signal received: saved step %d (epoch %d, batch %d); "
+                     "resume with --resume latest", int(jax.device_get(state.step)),
+                     epoch, i + 1)
+            break
         bsz = batch["text"].shape[0]
         tput.update(bsz)
         batch_time.update(time.perf_counter() - end)
@@ -497,6 +519,9 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
 def main(argv=None):
     args = parse_args(argv)
 
+    _PREEMPTED.clear()
+    if args.save_on_preemption:
+        _install_preemption_handler()
     if args.multihost:
         init_multihost(getattr(args, "dist_url", None))
     host_id, num_hosts = jax.process_index(), jax.process_count()
@@ -773,6 +798,8 @@ def main(argv=None):
         )
         log.info("epoch %d done: %d steps in %.1fs", epoch, n_steps,
                  time.perf_counter() - t0)
+        if _PREEMPTED.is_set():
+            break  # state already checkpointed mid-epoch; exit cleanly for reschedule
 
         if data_val is not None and (epoch + 1) % args.val_frequency == 0:
             metrics = evaluate(model, state.params, data_val, mesh, epoch, args)

@@ -81,6 +81,51 @@ def test_cli_midepoch_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_sigterm_sets_preemption_flag():
+    """The installed handler turns a real SIGTERM into the preemption event."""
+    import os as _os
+    import signal
+
+    from multimodal_tpu.train import run as run_mod
+
+    run_mod._PREEMPTED.clear()
+    run_mod._install_preemption_handler()
+    try:
+        _os.kill(_os.getpid(), signal.SIGTERM)
+        assert run_mod._PREEMPTED.wait(timeout=5)
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        run_mod._PREEMPTED.clear()
+
+
+def test_cli_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """A preemption flag raised mid-training makes the run checkpoint immediately and
+    exit cleanly; --resume latest then picks up mid-epoch. The flag is raised
+    deterministically by patching the handler installer (the real SIGTERM->flag path is
+    test_sigterm_sets_preemption_flag); the loop then must save after the FIRST step."""
+    from multimodal_tpu.train import run as run_mod
+
+    monkeypatch.setattr(run_mod, "_install_preemption_handler", run_mod._PREEMPTED.set)
+    try:
+        rc = main(BASE + ["--epochs", "2", "--logs", str(tmp_path), "--name", "evict"])
+    finally:
+        monkeypatch.undo()  # the resume run below must not re-raise the flag
+        run_mod._PREEMPTED.clear()
+    assert rc == 0
+    from multimodal_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "evict" / "checkpoints"))
+    assert mgr.latest_step() == 1  # saved right after the first step
+    mgr.close()
+
+    # resume finishes the remaining 5 of 6 steps
+    assert main(BASE + ["--epochs", "2", "--logs", str(tmp_path), "--name", "evict",
+                        "--resume", "latest"]) == 0
+    mgr = CheckpointManager(str(tmp_path / "evict" / "checkpoints"))
+    assert mgr.latest_step() == 6
+    mgr.close()
+
+
 def test_cli_synthetic_val_split_gets_model_vocab(tmp_path):
     """--val-data synthetic must size the fake tokens to the MODEL's vocab (and honor
     --val-num-samples): an unforwarded vocab_size indexes past a small embed table,
