@@ -53,10 +53,17 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # exponential moving average of params (beyond reference, --model-ema); None = off.
+    # A None field holds no pytree leaves, so checkpoints/shardings are unchanged when off
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx):
-        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+    def create(cls, params, tx, ema: bool = False):
+        # the EMA starts as a COPY: aliasing the param buffers would double-donate them
+        # in the jitted step (donate_argnums covers the whole state)
+        ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+                   ema_params=ema_params)
 
 
 def global_norm(tree):
@@ -375,8 +382,12 @@ def make_train_step(
     feature_cached_accum: bool = False,
     donate: bool = True,
     state_shardings=None,
+    ema_decay: Optional[float] = None,
 ):
     """Build the jitted train step. With ``mesh``: params replicated, batch data-sharded.
+
+    ema_decay: when set (and the state carries ema_params), updates the parameter EMA
+    each step with TF-style decay warmup min(decay, (1+step)/(10+step)).
 
     use_shard_map=True computes the loss inside shard_map with the local_loss form —
     the global x global logits matrix is never materialized per chip.
@@ -444,7 +455,15 @@ def make_train_step(
 
         norm = extract_grad_norm(new_opt_state)
         metrics["grad_norm"] = norm if norm is not None else global_norm(grads)
-        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.minimum(ema_decay, (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params,
+            )
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt_state, ema_params=new_ema)
         return new_state, metrics
 
     jit_kwargs = {}

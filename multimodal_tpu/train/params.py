@@ -189,6 +189,10 @@ def parse_args(args=None):
                         "resume fast-forwards the data stream past trained batches — "
                         "preemption-safe training (beyond reference)")
     g.add_argument("--save-most-recent", action="store_true", default=True)
+    g.add_argument("--model-ema", action="store_true",
+                   help="maintain an exponential moving average of the params; eval and "
+                        "final checkpoints use the averaged model (beyond reference)")
+    g.add_argument("--model-ema-decay", type=float, default=0.9998)
     g.add_argument("--save-on-preemption", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="on SIGTERM (pod eviction), checkpoint mid-epoch and exit "

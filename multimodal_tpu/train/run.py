@@ -203,6 +203,7 @@ def build_train_step(args, model, tx, mesh, state_shardings=None, epoch: int = 0
         use_shard_map=args.use_shard_map,
         accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
         donate=True, state_shardings=state_shardings,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
     )
 
 
@@ -706,7 +707,7 @@ def main(argv=None):
         tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
             lambda m: not m, mask)))
 
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, ema=args.model_ema)
     state_shardings = None
     if tp > 1:
         from multimodal_tpu.parallel.tp import shard_state, tp_state_shardings
@@ -767,11 +768,13 @@ def main(argv=None):
     # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val/zero-shot/retrieval), exit
     if args.epochs == 0:
         record = {"eval": True}
+        ep = (state.ema_params if args.model_ema and state.ema_params is not None
+              else state.params)
         if data_val is not None:
-            record.update(evaluate(model, state.params, data_val, mesh, 0, args))
-        record.update(zero_shot_eval_all(model, state.params, args, mesh))
-        record.update(retrieval_eval_all(model, state.params, args))
-        record.update(linear_probe_eval(model, state.params, args))
+            record.update(evaluate(model, ep, data_val, mesh, 0, args))
+        record.update(zero_shot_eval_all(model, ep, args, mesh))
+        record.update(retrieval_eval_all(model, ep, args))
+        record.update(linear_probe_eval(model, ep, args))
         log.info("eval-only: %s", record)
         exp_logger.log(record)
         return 0
@@ -801,17 +804,22 @@ def main(argv=None):
         if _PREEMPTED.is_set():
             break  # state already checkpointed mid-epoch; exit cleanly for reschedule
 
+        # evaluate the EMA weights when --model-ema is on (the averaged model is the
+        # one you'd serve); raw params otherwise
+        eval_params = (state.ema_params
+                       if args.model_ema and state.ema_params is not None
+                       else state.params)
         if data_val is not None and (epoch + 1) % args.val_frequency == 0:
-            metrics = evaluate(model, state.params, data_val, mesh, epoch, args)
+            metrics = evaluate(model, eval_params, data_val, mesh, epoch, args)
             log.info("eval epoch %d: %s", epoch, metrics)
             exp_logger.log(metrics, step=int(jax.device_get(state.step)))
 
         if not args.variational and (epoch + 1) % args.zeroshot_frequency == 0:
-            zs = zero_shot_eval_all(model, state.params, args, mesh)
+            zs = zero_shot_eval_all(model, eval_params, args, mesh)
             if zs:
                 exp_logger.log({"epoch": epoch, **zs}, step=int(jax.device_get(state.step)))
         if not args.variational and (epoch + 1) % args.retrieval_frequency == 0:
-            rt = retrieval_eval_all(model, state.params, args)
+            rt = retrieval_eval_all(model, eval_params, args)
             if rt:
                 exp_logger.log({"epoch": epoch, **rt}, step=int(jax.device_get(state.step)))
 

@@ -81,6 +81,31 @@ def test_cli_midepoch_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_cli_model_ema_trains_and_checkpoints(tmp_path):
+    """--model-ema: the run completes, and the checkpoint carries an EMA tree that
+    tracks but differs from the raw params."""
+    import jax
+
+    assert main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "ema",
+                        "--model-ema", "--model-ema-decay", "0.9", "--val-data",
+                        "synthetic", "--val-num-samples", "32"]) == 0
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.train import (CheckpointManager, TrainState, make_optimizer,
+                                      make_schedule)
+
+    model = create_model("tiny-test")
+    tx = make_optimizer(make_schedule("cosine", 1e-3, 2, 100))
+    template = jax.device_get(TrainState.create(init_params(model), tx, ema=True))
+    mgr = CheckpointManager(str(tmp_path / "ema" / "checkpoints"))
+    st, _ = mgr.restore(template)
+    mgr.close()
+    assert st.ema_params is not None
+    pl = jax.tree_util.tree_leaves(st.params)
+    el = jax.tree_util.tree_leaves(st.ema_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(pl, el))
+    assert all(np.isfinite(np.asarray(b)).all() for b in el)
+
+
 def test_sigterm_sets_preemption_flag():
     """The installed handler turns a real SIGTERM into the preemption event."""
     import os as _os

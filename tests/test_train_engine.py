@@ -307,3 +307,51 @@ def test_riemannian_grad_is_tangent():
     np.testing.assert_allclose(radial, 0.0, atol=1e-6)
     # forward is the identity
     np.testing.assert_allclose(np.asarray(riemannian_grad(mu)), np.asarray(mu))
+
+
+def test_ema_params_track_with_warmup():
+    """--model-ema: TrainState carries an EMA tree updated with TF-style decay warmup
+    min(decay, (1+step)/(10+step)); a None field keeps non-EMA states unchanged."""
+    import numpy as np
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.parallel import shard_batch
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh()
+    model = create_model("tiny-test")
+    params = init_params(model)
+    tx = make_optimizer(make_schedule("cosine", 1e-2, 2, 100))
+    state = jax.device_put(TrainState.create(params, tx, ema=True),
+                           jax.sharding.NamedSharding(mesh, P()))
+    assert state.ema_params is not None
+    step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False,
+                           ema_decay=0.5)
+    rng = np.random.default_rng(0)
+    c = model.cfg
+    batch = shard_batch({
+        "image": rng.integers(0, 256, (16, c.vision.image_size, c.vision.image_size, 3),
+                              dtype=np.uint8),
+        "text": rng.integers(1, c.text.vocab_size - 1, (16, c.text.context_length)
+                             ).astype(np.int32),
+    }, mesh)
+    key = jax.random.PRNGKey(0)
+
+    s1, _ = step(state, batch, key)
+    # step 0: effective decay = min(0.5, 1/10) = 0.1 -> ema = 0.1*old + 0.9*new
+    leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    want = 0.1 * np.asarray(leaf(state.ema_params)) + 0.9 * np.asarray(leaf(s1.params))
+    np.testing.assert_allclose(np.asarray(leaf(s1.ema_params)), want, rtol=1e-5)
+
+    # EMA differs from raw params but stays close; keeps tracking on later steps
+    s2, _ = step(s1, batch, key)
+    assert not np.allclose(np.asarray(leaf(s2.ema_params)), np.asarray(leaf(s2.params)))
+    assert np.all(np.isfinite(np.asarray(leaf(s2.ema_params))))
+
+    # without ema the field stays None through steps
+    s0 = jax.device_put(TrainState.create(params, tx),
+                        jax.sharding.NamedSharding(mesh, P()))
+    plain = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False)
+    s0b, _ = plain(s0, batch, key)
+    assert s0b.ema_params is None
