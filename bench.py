@@ -78,21 +78,34 @@ def main():
     from multimodal_tpu.parallel import create_mesh, shard_batch
     from multimodal_tpu.train import TrainState, make_optimizer, make_schedule, make_train_step
 
-    # the remote-chip tunnel can be transiently unavailable; a failed backend init is
-    # cached for the process lifetime, so retry by re-exec (bounded), not in-process
-    try:
-        dev = jax.devices()[0]
-    except RuntimeError as e:
-        # only transient outages (gRPC UNAVAILABLE from the tunnel) are worth retrying;
-        # deterministic init errors (bad platform, missing driver) should fail fast
-        tries = int(os.environ.get("MMTPU_BENCH_RETRY", "0"))
-        if tries >= 3 or "UNAVAILABLE" not in str(e):
-            raise
-        print(f"[bench] backend init failed ({e}); retry {tries + 1}/3 in 60s",
-              file=sys.stderr)
-        time.sleep(60)
-        os.environ["MMTPU_BENCH_RETRY"] = str(tries + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    # The remote-chip tunnel can be transiently unavailable, and a bad window can make
+    # backend init either raise UNAVAILABLE or HANG outright; a failed init is also
+    # cached for the process lifetime. So before touching jax in-process, probe the
+    # backend in a bounded subprocess and wait out flaky windows (bounded attempts).
+    # Deterministic errors (bad platform, missing driver) skip the wait and fail fast
+    # in-process with the real message.
+    attempts = int(os.environ.get("MMTPU_BENCH_PROBE_ATTEMPTS", "5"))
+    probe_timeout = float(os.environ.get("MMTPU_BENCH_PROBE_TIMEOUT", "180"))
+    sleep_s = float(os.environ.get("MMTPU_BENCH_PROBE_SLEEP", "120"))
+    for attempt in range(attempts):
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            status = ("ok" if r.returncode == 0 else
+                      "unavailable" if "UNAVAILABLE" in (r.stderr or "") else "fatal")
+        except subprocess.TimeoutExpired:
+            status = "hang"
+        if status in ("ok", "fatal"):
+            break
+        print(f"[bench] backend probe {attempt + 1}/{attempts}: {status}; "
+              f"retrying in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+
+    dev = jax.devices()[0]
     print(f"[bench] platform={dev.platform} kind={dev.device_kind} "
           f"n_devices={len(jax.devices())} batch={batch} steps={steps}", file=sys.stderr)
 
