@@ -233,10 +233,31 @@ def make_optimizer(
     skip_nonfinite: bool = True,
     max_consecutive_nonfinite: int = 100,
     fused: bool = True,
+    opt: str = "adamw",
 ):
     """Default: the single-pass fused AdamW (see fused_adamw). fused=False builds the
     modular optax chain with identical semantics — kept for composition with other optax
-    transforms and as the numerical reference the fused path is tested against."""
+    transforms and as the numerical reference the fused path is tested against.
+
+    opt: 'adamw' (the reference's optimizer, run.py:279-294) or the large-batch
+    trust-ratio optimizers 'lamb' / 'lars' (beyond reference) — the standard choices
+    when the global contrastive batch grows past what AdamW's LR tolerates; both reuse
+    the gain/bias weight-decay exclusion mask and the clip/skip-nonfinite wrappers."""
+    if opt in ("lamb", "lars"):
+        inner = (
+            optax.lamb(learning_rate=schedule, b1=beta1, b2=beta2, eps=eps,
+                       weight_decay=weight_decay, mask=wd_mask)
+            if opt == "lamb"
+            else optax.lars(learning_rate=schedule, weight_decay=weight_decay,
+                            weight_decay_mask=wd_mask, trust_ratio_mask=wd_mask,
+                            momentum=beta1)
+        )
+        tx = optax.chain(
+            clip_and_skip_by_global_norm(grad_clip_norm, skip_nonfinite), inner
+        )
+        return skip_if_nonfinite(tx) if skip_nonfinite else tx
+    if opt != "adamw":
+        raise ValueError(f"unknown optimizer {opt!r} (adamw | lamb | lars)")
     if fused:
         return fused_adamw(
             schedule, weight_decay=weight_decay, beta1=beta1, beta2=beta2, eps=eps,

@@ -64,6 +64,9 @@ def parse_args(args=None):
     g.add_argument("--steps-per-epoch", type=int, default=None,
                    help="override when the dataset cannot report its size")
     g.add_argument("--lr", type=float, default=None)
+    g.add_argument("--opt", choices=["adamw", "lamb", "lars"], default="adamw",
+                   help="adamw (reference) or large-batch trust-ratio optimizers "
+                        "(beyond reference; for very large global contrastive batches)")
     g.add_argument("--beta1", type=float, default=None)
     g.add_argument("--beta2", type=float, default=None)
     g.add_argument("--eps", type=float, default=None)

@@ -78,3 +78,47 @@ def test_fused_skip_freezes_state():
     assert int(state2.count) == count_before
     assert int(state2.notfinite_count) == 1
     assert not np.isfinite(float(state2.grad_norm))
+
+
+def test_lamb_and_lars_train():
+    """--opt lamb/lars (beyond reference): trust-ratio optimizers build with the same
+    wd-exclusion mask and clip/skip wrappers, and drive the loss down on a toy model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from multimodal_tpu.train import make_optimizer, make_schedule
+
+    def loss_fn(p, x, y):
+        pred = x @ p["w"] + p["b"]
+        return jnp.mean((pred - y) ** 2)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    w_true = jnp.asarray(rng.normal(size=(8, 1)), jnp.float32)
+    y = x @ w_true
+    # step size is ~lr*||param|| for LAMB and ~lr*0.001*||param|| (trust coefficient)
+    # for LARS, so each gets an in-regime LR rather than AdamW's
+    for kind, lr in (("lamb", 0.3), ("lars", 3.0)):
+        tx = make_optimizer(make_schedule("cosine", lr, 2, 600), weight_decay=0.01,
+                            grad_clip_norm=1.0, opt=kind)
+        # nonzero init: the trust ratio scales updates by ||param||, so an all-zero
+        # start is the known LAMB/LARS pathology, not a representative case
+        params = {"w": jnp.asarray(rng.normal(size=(8, 1)) * 0.3, jnp.float32),
+                  "b": jnp.zeros((1,))}
+        state = tx.init(params)
+        losses = []
+        for _ in range(300):
+            loss, g = jax.value_and_grad(loss_fn)(params, x, y)
+            updates, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(float(loss))
+        assert np.all(np.isfinite(losses)), kind
+        assert losses[-1] < 0.5 * losses[0], (kind, losses[0], losses[-1])
+
+    try:
+        make_optimizer(make_schedule("cosine", 1e-2, 2, 200), opt="sgd")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
