@@ -251,6 +251,15 @@ def parse_args(args=None):
                         "--imagenet-train)")
     g.add_argument("--linear-probe-val", default=None)
     g.add_argument("--linear-probe-epochs", type=int, default=100)
+    g.add_argument("--captioning-eval", default=None,
+                   help="COCO-format (or folder-per-class) root for the downstream "
+                        "captioning BLEU eval (metrics.ipynb cells 15-21); runs in "
+                        "eval-only mode (--epochs 0)")
+    g.add_argument("--captioning-num-samples", type=int, default=2048)
+    g.add_argument("--captioning-epochs", type=int, default=3)
+    g.add_argument("--captioning-width", type=int, default=256,
+                   help="width of the from-scratch caption decoder")
+    g.add_argument("--captioning-layers", type=int, default=4)
 
     # ------------------------------------------------------------ distributed
     g = parser.add_argument_group("distributed")

@@ -414,6 +414,70 @@ def retrieval_eval_all(model, params, args) -> dict:
     return results
 
 
+def captioning_eval(model, params, args) -> dict:
+    """Downstream captioning eval, CLI-reachable (metrics.ipynb cells 15-21 /
+    metrics/captioning.py:14,234-331): embed images with the frozen encoder, train a
+    CLIP-prefix caption decoder on 90% of them, generate on the held-out 10%, report
+    corpus BLEU. Deviation from the reference, documented: the decoder is a compact
+    from-scratch GPT-2 (training pods are zero-egress, no pretrained GPT-2 snapshot);
+    it measures encoder quality the same way — captions are only learnable from the
+    image embedding."""
+    root = getattr(args, "captioning_eval", None)
+    if not root or getattr(args, "variational", False):
+        return {}
+    from multimodal_tpu.data.datasets import coco_captions, cood_items
+    from multimodal_tpu.data.tokenizer import default_tokenizer
+    from multimodal_tpu.eval.captioning import CaptioningMetric
+    from multimodal_tpu.inference import Embedder
+    from multimodal_tpu.models.captioner import ClipCaptionModel, GPT2Config
+
+    try:
+        items = coco_captions(root, split="val",
+                              ann_path=getattr(args, "ms_coco_annot", None))
+    except (FileNotFoundError, NotADirectoryError, OSError, ValueError):
+        items = cood_items(root)  # folder-per-class fallback (caption = class name)
+    one_per_image: dict = {}
+    for path, caption in items:
+        one_per_image.setdefault(path, caption)
+    items = list(one_per_image.items())
+    rng = np.random.default_rng(args.seed)
+    rng.shuffle(items)
+    items = items[: args.captioning_num_samples]
+    if len(items) < 20:
+        log.warning("captioning eval: only %d usable images; skipping", len(items))
+        return {}
+    n_eval = max(8, len(items) // 10)
+    train_items, eval_items = items[n_eval:], items[:n_eval]
+
+    emb = Embedder(model, params, batch_size=args.batch_size)
+    size = model.cfg.vision.image_size
+    train_feats, _ = emb.embed_image_files([p for p, _ in train_items], image_size=size)
+    eval_feats, _ = emb.embed_image_files([p for p, _ in eval_items], image_size=size)
+
+    tok = default_tokenizer()
+    sot, eot = tok.encoder["<|startoftext|>"], tok.encoder["<|endoftext|>"]
+    train_tokens = tok([c for _, c in train_items])
+    caption_model = ClipCaptionModel(
+        gpt2=GPT2Config(vocab_size=49408, max_positions=128,
+                        width=args.captioning_width, layers=args.captioning_layers,
+                        heads=max(2, args.captioning_width // 64)),
+        clip_dim=model.cfg.embed_dim, prefix_length=10, clip_length=4, mapper_layers=2,
+    )
+    metric = CaptioningMetric(
+        caption_model=caption_model,
+        detokenizer=lambda ids: tok.decode(
+            [i for i in ids if i not in (sot, eot)]).strip(),
+        epochs=args.captioning_epochs, batch_size=min(32, len(train_items)),
+        lr=2e-4, seed=args.seed,
+    )
+    bleu, info = metric.compute(
+        np.asarray(train_feats), np.asarray(train_tokens), np.asarray(eval_feats),
+        [c for _, c in eval_items],
+    )
+    log.info("captioning eval: BLEU %.4f over %d held-out images", bleu, info["num_eval"])
+    return {"caption_bleu": bleu, "caption_num_eval": info["num_eval"]}
+
+
 def linear_probe_eval(model, params, args) -> dict:
     """Linear probing on frozen image features (main/linear_probing.py:20-114): embed a
     folder-per-class train/val pair, fit the logistic head, report accuracy."""
@@ -776,6 +840,7 @@ def main(argv=None):
         record.update(zero_shot_eval_all(model, ep, args, mesh))
         record.update(retrieval_eval_all(model, ep, args))
         record.update(linear_probe_eval(model, ep, args))
+        record.update(captioning_eval(model, ep, args))
         log.info("eval-only: %s", record)
         exp_logger.log(record)
         return 0

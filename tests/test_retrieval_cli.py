@@ -134,3 +134,46 @@ def test_cli_flickr_retrieval(tmp_path):
     rec = records[-1]
     assert "flickr_retrieval-text_to_image_R@1" in rec
     assert rec["flickr_retrieval-text_to_image_R@5"] == 1.0  # only 4 image candidates
+
+
+@pytest.fixture(scope="module")
+def caption_coco_root(tmp_path_factory):
+    """A larger COCO-format set (24 images, 1 caption each) for the captioning eval."""
+    root = tmp_path_factory.mktemp("capcoco")
+    (root / "val2017").mkdir()
+    (root / "annotations").mkdir()
+    rng = np.random.default_rng(1)
+    images, anns = [], []
+    words = ["red", "blue", "green", "dog", "cat", "car"]
+    for i in range(24):
+        fn = f"{i:012d}.jpg"
+        arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "val2017" / fn, quality=90)
+        images.append({"id": i, "file_name": fn})
+        anns.append({"image_id": i,
+                     "caption": f"a photo of a {words[i % len(words)]} thing"})
+    (root / "annotations" / "captions_val2017.json").write_text(
+        json.dumps({"images": images, "annotations": anns})
+    )
+    return str(root)
+
+
+@pytest.mark.slow
+def test_cli_eval_only_captioning(caption_coco_root, tmp_path):
+    """--captioning-eval through the eval-only CLI: trains the compact prefix decoder on
+    frozen embeddings and reports a finite corpus BLEU over the held-out split."""
+    from multimodal_tpu.train.run import main
+
+    rc = main([
+        "--dataset-type", "synthetic", "--model", "tiny-fullvocab-r", "--batch-size", "8",
+        "--epochs", "0", "--logs", str(tmp_path), "--name", "cap",
+        "--captioning-eval", caption_coco_root, "--captioning-num-samples", "24",
+        "--captioning-epochs", "2", "--captioning-width", "64",
+        "--captioning-layers", "2",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in open(tmp_path / "cap" / "results.jsonl")]
+    rec = records[-1]
+    assert "caption_bleu" in rec and np.isfinite(rec["caption_bleu"])
+    assert 0.0 <= rec["caption_bleu"] <= 1.0
+    assert rec["caption_num_eval"] == 8
