@@ -179,17 +179,27 @@ def build_dataset(
     """Dispatcher (reference get_data, main/data.py:711-768). dataset_type:
     'webdataset' | 'coco' | 'laion' | 'cood' | 'csv' | 'synthetic'."""
     if dataset_type == "webdataset":
-        return WdsReader(
-            path,
-            batch_size=batch_size,
-            train=train,
-            seed=seed,
-            num_hosts=num_hosts,
-            host_id=host_id,
-            num_workers=num_workers,
-            worker_id=worker_id,
-            **kw,
-        )
+        def reader(wid, nw):
+            return WdsReader(
+                path,
+                batch_size=batch_size,
+                train=train,
+                seed=seed,
+                num_hosts=num_hosts,
+                host_id=host_id,
+                num_workers=nw,
+                worker_id=wid,
+                **kw,
+            )
+
+        if num_workers > 1:
+            # N dataloader workers (reference data.py:467-469): shard-disjoint readers
+            # drained concurrently — parallel tar read + decode across threads
+            from multimodal_tpu.data.pipeline import InterleavedReaders
+
+            return InterleavedReaders([reader(w, num_workers)
+                                       for w in range(num_workers)])
+        return reader(worker_id, num_workers)
     if dataset_type == "synthetic":
         from multimodal_tpu.data.synthetic import SyntheticBatches
 

@@ -44,6 +44,53 @@ def background(iterable: Iterable, depth: int = 4) -> Iterator:
         stop.set()
 
 
+class InterleavedReaders:
+    """--workers N: N shard-disjoint readers (the reference's dataloader workers,
+    data.py:467-469 split_by_worker) drained concurrently on daemon threads into one
+    stream. Each reader keeps its own deterministic order; the merge order is
+    arrival order. Epochs plumb to every worker via set_epoch."""
+
+    def __init__(self, readers, depth: int = 4):
+        assert readers, "need at least one reader"
+        self.readers = list(readers)
+        self.depth = depth
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        for r in self.readers:
+            if hasattr(r, "set_epoch"):
+                r.set_epoch(epoch)
+
+    @property
+    def num_batches(self):
+        counts = [getattr(r, "num_batches", None) for r in self.readers]
+        return None if any(c is None for c in counts) else sum(counts)
+
+    def __len__(self):
+        return sum(len(r) for r in self.readers)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=max(self.depth, len(self.readers)))
+        stop = threading.Event()
+        threads = [
+            threading.Thread(target=_producer, args=(iter(r), q, stop), daemon=True)
+            for r in self.readers
+        ]
+        for t in threads:
+            t.start()
+        live = len(threads)
+        try:
+            while live:
+                item = q.get()
+                if item is _SENTINEL:
+                    live -= 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+
+
 def prefetch_to_device(
     iterable: Iterable,
     sharding=None,

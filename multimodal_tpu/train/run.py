@@ -706,7 +706,8 @@ def main(argv=None):
             ))
     train_src = build_dataset(
         dataset_type, path=args.train_data or "", batch_size=args.batch_size,
-        train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id, **data_kw,
+        train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id,
+        num_workers=max(args.workers, 1), **data_kw,
     )
     data_train = DataInfo(train_src, sharding=data_sharding(mesh))
     data_val = None
