@@ -704,6 +704,12 @@ def main(argv=None):
             data_kw.update(semantic_encoder=make_semantic_encoder(
                 getattr(args, "semantic_model_path", None)
             ))
+    if getattr(args, "aug_cfg", None):
+        # never silently drop: the native train crop implements the reference's default
+        # RandomResizedCrop(scale=(0.9,1.0), ratio=(3/4,4/3)); timm-style --aug-cfg
+        # overrides (transform.py:88-106) are not applied on this path
+        log.warning("--aug-cfg %s is not applied by the native input pipeline "
+                    "(train crop fixed at the reference defaults)", dict(args.aug_cfg))
     train_src = build_dataset(
         dataset_type, path=args.train_data or "", batch_size=args.batch_size,
         train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id,
