@@ -87,6 +87,7 @@ def main():
     attempts = int(os.environ.get("MMTPU_BENCH_PROBE_ATTEMPTS", "5"))
     probe_timeout = float(os.environ.get("MMTPU_BENCH_PROBE_TIMEOUT", "180"))
     sleep_s = float(os.environ.get("MMTPU_BENCH_PROBE_SLEEP", "120"))
+    status = "ok"
     for attempt in range(attempts):
         import subprocess
 
@@ -101,9 +102,15 @@ def main():
             status = "hang"
         if status in ("ok", "fatal"):
             break
-        print(f"[bench] backend probe {attempt + 1}/{attempts}: {status}; "
-              f"retrying in {sleep_s:.0f}s", file=sys.stderr, flush=True)
-        time.sleep(sleep_s)
+        if attempt + 1 < attempts:
+            print(f"[bench] backend probe {attempt + 1}/{attempts}: {status}; "
+                  f"retrying in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+    if status == "hang":
+        # never fall through to an unbounded in-process init that would hang forever
+        raise RuntimeError(
+            f"backend init still hanging after {attempts} bounded probes")
+    # 'fatal' falls through: the in-process init reproduces the real error message fast
 
     dev = jax.devices()[0]
     print(f"[bench] platform={dev.platform} kind={dev.device_kind} "

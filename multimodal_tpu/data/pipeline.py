@@ -46,9 +46,12 @@ def background(iterable: Iterable, depth: int = 4) -> Iterator:
 
 class InterleavedReaders:
     """--workers N: N shard-disjoint readers (the reference's dataloader workers,
-    data.py:467-469 split_by_worker) drained concurrently on daemon threads into one
-    stream. Each reader keeps its own deterministic order; the merge order is
-    arrival order. Epochs plumb to every worker via set_epoch."""
+    data.py:467-469 split_by_worker) prefetching concurrently on daemon threads,
+    merged STRICTLY ROUND-ROBIN (worker 0, 1, ..., skipping exhausted ones). The merge
+    order is therefore fully deterministic given deterministic per-worker streams —
+    required by the mid-epoch resume fast-forward, which replays and skips a batch
+    prefix by position. Read/decode still overlaps across workers: each worker fills
+    its own bounded queue ahead of its turn. Epochs plumb to every worker."""
 
     def __init__(self, readers, depth: int = 4):
         assert readers, "need at least one reader"
@@ -67,28 +70,32 @@ class InterleavedReaders:
         counts = [getattr(r, "num_batches", None) for r in self.readers]
         return None if any(c is None for c in counts) else sum(counts)
 
-    def __len__(self):
-        return sum(len(r) for r in self.readers)
-
     def __iter__(self):
-        q: queue.Queue = queue.Queue(maxsize=max(self.depth, len(self.readers)))
+        queues = [queue.Queue(maxsize=self.depth) for _ in self.readers]
         stop = threading.Event()
         threads = [
             threading.Thread(target=_producer, args=(iter(r), q, stop), daemon=True)
-            for r in self.readers
+            for r, q in zip(self.readers, queues)
         ]
         for t in threads:
             t.start()
-        live = len(threads)
+        live = list(queues)
         try:
             while live:
-                item = q.get()
-                if item is _SENTINEL:
-                    live -= 1
-                    continue
-                yield item
+                for q in list(live):
+                    item = q.get()
+                    if item is _SENTINEL:
+                        live.remove(q)
+                        continue
+                    yield item
         finally:
             stop.set()
+            for q in queues:  # unblock producers parked on a full queue
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
 
 
 def prefetch_to_device(

@@ -62,5 +62,10 @@ class CheckpointManager:
     def all_steps(self):
         return list(self._mgr.all_steps())
 
+    def delete(self, step: int):
+        """Remove one saved step (used to replace a mid-epoch save that landed exactly
+        on the epoch boundary with the clean epoch-end save)."""
+        self._mgr.delete(step)
+
     def close(self):
         self._mgr.close()

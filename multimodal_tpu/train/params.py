@@ -53,7 +53,10 @@ def parse_args(args=None):
     g.add_argument("--csv-img-key", default="filepath")
     g.add_argument("--csv-caption-key", default="title")
     g.add_argument("--workers", type=int, default=4,
-                   help="decode threads per host (native pipeline threads, not processes)")
+                   help="webdataset: N shard-disjoint readers drained round-robin on "
+                        "threads (parallel tar read + decode; deterministic order). "
+                        "Other dataset types decode natively multi-threaded and ignore "
+                        "this flag")
     g.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
 
     # ---------------------------------------------------------- optimization

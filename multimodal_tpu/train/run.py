@@ -455,7 +455,7 @@ def captioning_eval(model, params, args) -> dict:
     eval_feats, _ = emb.embed_image_files([p for p, _ in eval_items], image_size=size)
 
     tok = default_tokenizer()
-    sot, eot = tok.encoder["<|startoftext|>"], tok.encoder["<|endoftext|>"]
+    sot, eot = tok.sot_token_id, tok.eot_token_id
     train_tokens = tok([c for _, c in train_items])
     caption_model = ClipCaptionModel(
         gpt2=GPT2Config(vocab_size=49408, max_positions=128,
@@ -532,6 +532,11 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
 
     for i, batch in enumerate(data_train):
         if i < skip_steps:
+            if _PREEMPTED.is_set():
+                # evicted during the replay: state is unchanged since restore, so
+                # nothing new to save — just exit cleanly within the grace period
+                log.info("preemption during fast-forward; exiting (nothing to save)")
+                return state, losses, 0, rng
             end = time.perf_counter()
             continue
         data_time.update(time.perf_counter() - end)
@@ -585,8 +590,15 @@ def main(argv=None):
     args = parse_args(argv)
 
     _PREEMPTED.clear()
-    if args.save_on_preemption:
+    if args.save_on_preemption and not args.multihost:
         _install_preemption_handler()
+    elif args.save_on_preemption and args.multihost:
+        # a per-host reactive save is UNSAFE multihost: one evicted host would enter the
+        # collective save / break the loop while the others keep stepping -> mismatched
+        # collectives. Coordinated preemption needs an all-host signal; until then rely
+        # on --save-frequency-steps (every host saves at the same step boundary).
+        log.warning("--save-on-preemption is disabled under --multihost (per-host "
+                    "SIGTERM is uncoordinated); use --save-frequency-steps")
     if args.multihost:
         init_multihost(getattr(args, "dist_url", None))
     host_id, num_hosts = jax.process_index(), jax.process_count()
@@ -809,7 +821,29 @@ def main(argv=None):
     resume_skip_steps = 0
     if args.resume:
         step = None if args.resume == "latest" else int(args.resume)
-        restored, meta = ckpt.restore(jax.device_get(state), step=step)
+        template = jax.device_get(state)
+        try:
+            restored, meta = ckpt.restore(template, step=step)
+        except Exception as e:  # pytree mismatch: --model-ema toggled across the resume
+            import dataclasses as _dc
+
+            alt = _dc.replace(
+                template,
+                ema_params=None if template.ema_params is not None
+                else jax.tree_util.tree_map(lambda x: x, template.params),
+            )
+            try:
+                restored, meta = ckpt.restore(alt, step=step)
+            except Exception:
+                raise e  # surface the original error
+            if args.model_ema:  # checkpoint predates EMA: seed it from the params
+                restored = _dc.replace(
+                    restored,
+                    ema_params=jax.tree_util.tree_map(jnp.copy, restored.params))
+                log.info("resume: checkpoint had no EMA; initialized it from params")
+            else:  # checkpoint carries an EMA this run doesn't use: drop it
+                restored = _dc.replace(restored, ema_params=None)
+                log.info("resume: dropped the checkpoint's EMA (--model-ema off)")
         if restored is not None:
             state = jax.device_put(
                 restored, state_shardings if state_shardings is not None
@@ -840,14 +874,15 @@ def main(argv=None):
     # eval-only mode (run.py:378-400): --epochs 0 -> evaluate (val/zero-shot/retrieval), exit
     if args.epochs == 0:
         record = {"eval": True}
-        ep = (state.ema_params if args.model_ema and state.ema_params is not None
-              else state.params)
+        eval_params = (state.ema_params
+                       if args.model_ema and state.ema_params is not None
+                       else state.params)
         if data_val is not None:
-            record.update(evaluate(model, ep, data_val, mesh, 0, args))
-        record.update(zero_shot_eval_all(model, ep, args, mesh))
-        record.update(retrieval_eval_all(model, ep, args))
-        record.update(linear_probe_eval(model, ep, args))
-        record.update(captioning_eval(model, ep, args))
+            record.update(evaluate(model, eval_params, data_val, mesh, 0, args))
+        record.update(zero_shot_eval_all(model, eval_params, args, mesh))
+        record.update(retrieval_eval_all(model, eval_params, args))
+        record.update(linear_probe_eval(model, eval_params, args))
+        record.update(captioning_eval(model, eval_params, args))
         log.info("eval-only: %s", record)
         exp_logger.log(record)
         return 0
@@ -875,7 +910,17 @@ def main(argv=None):
         log.info("epoch %d done: %d steps in %.1fs", epoch, n_steps,
                  time.perf_counter() - t0)
         if _PREEMPTED.is_set():
-            break  # state already checkpointed mid-epoch; exit cleanly for reschedule
+            # the signal may have landed AFTER the loop's last per-step check, in which
+            # case no mid-epoch save ran — don't lose the epoch's steps
+            cur = int(jax.device_get(state.step))
+            ckpt.wait()
+            if n_steps and ckpt.latest_step() != cur:
+                done = (resume_skip_steps if epoch == start_epoch else 0) + n_steps
+                ckpt.save(cur, jax.device_get(state),
+                          metadata={"epoch": epoch, "name": args.name,
+                                    "mid_epoch": True, "step_in_epoch": done})
+                log.info("preemption: saved step %d before exit", cur)
+            break  # exit cleanly for reschedule; resume with --resume latest
 
         # evaluate the EMA weights when --model-ema is on (the averaged model is the
         # one you'd serve); raw params otherwise
@@ -899,10 +944,14 @@ def main(argv=None):
         if (epoch + 1) % args.save_frequency == 0 or epoch == args.epochs - 1:
             cur = int(jax.device_get(state.step))
             ckpt.wait()  # join any in-flight step-frequency save before the step check
-            if ckpt.latest_step() != cur:  # a step-frequency save may already sit here
-                ckpt.save(cur, jax.device_get(state),
-                          metadata={"epoch": epoch, "name": args.name})
-                log.info("saved checkpoint at step %d", cur)
+            if ckpt.latest_step() == cur:
+                # a step-frequency save landed exactly on the epoch boundary; replace it
+                # so the surviving metadata is the clean epoch-end one (a stale
+                # mid_epoch flag would make resume wastefully replay the whole epoch)
+                ckpt.delete(cur)
+            ckpt.save(cur, jax.device_get(state),
+                      metadata={"epoch": epoch, "name": args.name})
+            log.info("saved checkpoint at step %d", cur)
 
     ckpt.wait()
     ckpt.close()

@@ -106,6 +106,39 @@ def test_cli_model_ema_trains_and_checkpoints(tmp_path):
     assert all(np.isfinite(np.asarray(b)).all() for b in el)
 
 
+def test_cli_resume_tolerates_ema_toggle(tmp_path):
+    """Resuming a non-EMA checkpoint with --model-ema seeds the EMA from the restored
+    params instead of failing on the pytree mismatch (and vice versa drops it)."""
+    assert main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "tog"]) == 0
+    assert main(BASE + ["--epochs", "2", "--logs", str(tmp_path), "--name", "tog",
+                        "--resume", "latest", "--model-ema"]) == 0
+    # and back: the EMA-carrying checkpoint resumes into a non-EMA run
+    assert main(BASE + ["--epochs", "3", "--logs", str(tmp_path), "--name", "tog",
+                        "--resume", "latest"]) == 0
+
+
+def test_cli_boundary_step_save_gets_clean_epoch_metadata(tmp_path):
+    """A step-frequency save landing exactly on the epoch boundary is replaced by the
+    clean epoch-end save, so resume starts the NEXT epoch instead of replaying."""
+    from multimodal_tpu.train.checkpoints import CheckpointManager
+
+    # 3 steps/epoch, save every 3 steps -> the mid-epoch save collides with epoch end
+    assert main(BASE + ["--epochs", "1", "--logs", str(tmp_path), "--name", "bnd",
+                        "--save-frequency-steps", "3"]) == 0
+    mgr = CheckpointManager(str(tmp_path / "bnd" / "checkpoints"))
+    assert mgr.latest_step() == 3
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.train import TrainState, make_optimizer, make_schedule
+
+    model = create_model("tiny-test")
+    tx = make_optimizer(make_schedule("cosine", 1e-3, 2, 100))
+    import jax
+
+    _, meta = mgr.restore(jax.device_get(TrainState.create(init_params(model), tx)))
+    mgr.close()
+    assert not (meta or {}).get("mid_epoch"), meta
+
+
 def test_sigterm_sets_preemption_flag():
     """The installed handler turns a real SIGTERM into the preemption event."""
     import os as _os

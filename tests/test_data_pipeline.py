@@ -328,5 +328,12 @@ def test_interleaved_workers_cover_all_shards(shard_dir):
     # epoch plumbing reaches every worker
     two.set_epoch(3)
     assert all(r.epoch == 3 for r in two.readers)
-    # re-iterable (threads are per-iteration)
-    assert len(captions(two)) == 20
+    # the round-robin merge is DETERMINISTIC (mid-epoch resume replays by position):
+    # two fresh iterations yield the identical batch order
+    two.set_epoch(0)
+    first = [tuple(map(tuple, b["text"])) for b in two]
+    second = [tuple(map(tuple, b["text"])) for b in two]
+    assert first == second
+    # more workers than shards: idle readers exhaust immediately, stream still covers all
+    four = build_dataset("webdataset", num_workers=4, **kw)
+    assert len(captions(four)) == 20
