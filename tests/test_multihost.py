@@ -98,6 +98,21 @@ for _ in range(3):
     # the loss is a replicated global scalar: read this host's addressable replica
     losses.append(float(np.asarray(m["loss"].addressable_data(0))))
 print("LOSSES:" + ",".join(f"{{l:.6f}}" for l in losses), flush=True)
+
+# the flagship scale-out form across a REAL process boundary: ring-streamed contrastive
+# (shard_map + ppermute over the 2-process mesh) must match the dense GSPMD loss
+ring_step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False,
+                            use_shard_map=True,
+                            loss_kwargs={{"contrastive_impl": "ring"}})
+ring_state = jax.device_put(TrainState.create(init_params(model), tx),
+                            NamedSharding(mesh, P()))
+dense_state = jax.device_put(TrainState.create(init_params(model), tx),
+                             NamedSharding(mesh, P()))
+ring_state, rm = ring_step(ring_state, batch, jax.random.PRNGKey(0))
+dense_state, dm = step(dense_state, batch, jax.random.PRNGKey(0))
+rl = float(np.asarray(rm["loss"].addressable_data(0)))
+dl = float(np.asarray(dm["loss"].addressable_data(0)))
+print(f"RING:{{rl:.6f}}:{{dl:.6f}}", flush=True)
 """
 
 
@@ -129,3 +144,8 @@ def test_two_process_multihost_train_step():
     import numpy as np
 
     assert np.all(np.isfinite(vals)) and vals[-1] < vals[0]
+    # ring (shard_map + cross-process ppermute) == dense GSPMD on the same batch/params
+    ring_lines = [l for out, _ in outs for l in out.splitlines() if l.startswith("RING:")]
+    assert len(ring_lines) == 2 and ring_lines[0] == ring_lines[1]
+    _, rl, dl = ring_lines[0].split(":")
+    np.testing.assert_allclose(float(rl), float(dl), rtol=1e-4)
