@@ -34,9 +34,11 @@ def _xla_attention(q, k, v, causal: bool, mask):
     if causal:
         sk = k.shape[1]
         causal_mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
-        logits = jnp.where(causal_mask[None, None], logits, -jnp.inf)
+        # finite sentinel (same convention as the fused/flash/block/ring kernels):
+        # -inf would turn a fully-masked row into NaN instead of a uniform distribution
+        logits = jnp.where(causal_mask[None, None], logits, -1e30)
     if mask is not None:
-        logits = logits + mask.astype(logits.dtype)
+        logits = logits + jnp.maximum(mask.astype(logits.dtype), -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -66,6 +68,13 @@ def attention(q, k, v, *, causal: bool = False, mask=None, impl: str = "auto"):
                 "MMTPU_DISABLE_FLASH"
             ):
                 impl = "flash"
+    if impl in ("fused", "flash") and mask is not None:
+        raise ValueError(
+            f"impl={impl!r} does not support an additive mask — it would be silently "
+            "dropped; use impl='xla' (or 'auto', which routes masked calls to XLA)"
+        )
+    if impl == "fused" and sq != sk:
+        raise ValueError("impl='fused' requires sq == sk (self-attention)")
     if impl == "fused":
         from multimodal_tpu.ops.fused_attention import fused_attention
 

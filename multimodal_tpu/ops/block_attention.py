@@ -141,6 +141,13 @@ def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
 
 def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
                 scale, causal, kv_len=None, group_proj=True, ln_eps=None):
+    # NOTE: the four (LN x group) branches below are deliberately spelled out rather than
+    # factored through shared helpers: Mosaic's lowering is sensitive to the exact traced
+    # op sequence at these shapes (an innocuous [G,S,W]->[G*S,W] merge once sent ViT-B/16
+    # compiles past 18 minutes — see the in-branch comments and docs/DESIGN.md), so each
+    # measured-good trace is kept verbatim. The guards differ on purpose: the non-LN
+    # group branch also requires g_imgs > 1 (at g=1 the collapse buys nothing), while the
+    # LN fold is only enabled at S>128 where the group path is always profitable.
     if ln_eps is not None:
         gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo, y_ref = refs
     else:

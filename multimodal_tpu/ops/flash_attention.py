@@ -63,7 +63,10 @@ def flash_supported(q_shape, k_shape, causal: bool = False) -> bool:
     the kernel beats XLA's fused einsum (block skipping + no S^2 HBM traffic); for full
     attention and for short sequences XLA wins. head_dim must fit one lane block."""
     b, sq, h, d = q_shape
-    return causal and d <= LANES and k_shape[1] >= 2048
+    # sq == sk: the kernel's causal mask is top-left aligned (col <= row); the XLA path
+    # is bottom-right aligned (tril k=sk-sq) — for sq != sk the two disagree, so the
+    # auto dispatch must not switch semantics silently
+    return causal and d <= LANES and k_shape[1] >= 2048 and sq == k_shape[1]
 
 
 def _causal_live(qi, ki, block_q: int, block_k: int):

@@ -72,8 +72,16 @@ def ring_attention(q, k, v, axis_name, *, causal: bool = False):
     # K/V travel the ring: after t hops, shard i holds block (i - t) mod n
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    # the resident (t=0) block is computed BEFORE the ring starts; each of the n-1 scan
+    # iterations then permutes-then-computes, so exactly n-1 ppermutes run — a rotation
+    # after the last visited block would be dead traffic the compiler cannot DCE inside
+    # the loop (and the VJP mirrors the schedule, doubling the waste)
+    m0, l0, o0 = _block_attn(q, k, v, q_pos, idx * s_local, causal)
+
     def body(carry, t):
         k_cur, v_cur, m_acc, l_acc, o_acc = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
         kv_idx = (idx - t) % n
         m_blk, l_blk, o_blk = _block_attn(q, k_cur, v_cur, q_pos, kv_idx * s_local, causal)
         m_new = jnp.maximum(m_acc, m_blk)
@@ -83,18 +91,9 @@ def ring_attention(q, k, v, axis_name, *, causal: bool = False):
         # m,l are [B,H,S]; o is [B,S,H,D] — move the coefficients to o's layout
         o_new = (o_acc * jnp.transpose(c_acc, (0, 2, 1))[..., None]
                  + o_blk * jnp.transpose(c_blk, (0, 2, 1))[..., None])
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (k_nxt, v_nxt, m_new, l_new, o_new), None
+        return (k_cur, v_cur, m_new, l_new, o_new), None
 
-    # derive the zero accumulators from q so they inherit its varying-manual-axes type —
-    # the scan carry must be typed device-varying from the start (JAX >= 0.9 vma check),
-    # over whatever mesh axes the caller sharded q on (seq, data, ...)
-    zq = (q * 0).astype(jnp.float32)  # [B,S,H,D]
-    o0 = zq
-    l0 = jnp.swapaxes(zq[..., 0], 1, 2)  # [B,H,S]
-    m0 = l0 + NEG_INF
-    (k, v, m, l, o), _ = jax.lax.scan(body, (k, v, m0, l0, o0), jnp.arange(n))
+    (k, v, m, l, o), _ = jax.lax.scan(body, (k, v, m0, l0, o0), jnp.arange(1, n))
     l = jnp.maximum(l, 1e-30)  # causal first block: every row attends to >=1 position
     out = o / jnp.transpose(l, (0, 2, 1))[..., None]
     return out.astype(q.dtype)

@@ -34,10 +34,14 @@ def householder_rotation(x, mu):
     d = x.shape[-1]
     e1 = jnp.zeros_like(mu).at[..., 0].set(1.0)
     u = e1 - mu
-    # When mu == e1 the reflection is degenerate; fall back to identity.
-    norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
-    safe = norm > 1e-6
-    u = jnp.where(safe, u / jnp.maximum(norm, 1e-12), jnp.zeros_like(u))
+    # When mu == e1 the reflection is degenerate; fall back to identity. Double-where:
+    # norm's VJP at the zero vector is 0*inf = NaN even on the unselected branch, so the
+    # norm must be taken over a vector that is safely nonzero everywhere.
+    sq = jnp.sum(jnp.square(u), axis=-1, keepdims=True)
+    safe = sq > 1e-12
+    u_safe = jnp.where(safe, u, e1)  # any nonzero stand-in on the degenerate rows
+    norm = jnp.linalg.norm(u_safe, axis=-1, keepdims=True)
+    u = jnp.where(safe, u_safe / norm, jnp.zeros_like(u))
     proj = jnp.sum(u * x, axis=-1, keepdims=True)
     return x - 2.0 * proj * u
 
@@ -76,11 +80,13 @@ riemannian_grad.defvjp(_riemannian_grad_fwd, _riemannian_grad_bwd)
 
 
 def exponential_map(mu, v):
-    """Exponential map on the unit sphere: walk from mu along tangent vector v."""
-    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    safe_norm = jnp.maximum(norm, 1e-12)
-    return jnp.where(
-        norm > 1e-9,
-        jnp.cos(norm) * mu + jnp.sin(norm) * v / safe_norm,
-        mu,
-    )
+    """Exponential map on the unit sphere: walk from mu along tangent vector v.
+
+    Double-where guards the v == 0 case: norm's VJP at the zero vector would emit NaN
+    into dv/dmu even though the identity branch is selected."""
+    sq = jnp.sum(jnp.square(v), axis=-1, keepdims=True)
+    safe = sq > 1e-18
+    v_safe = jnp.where(safe, v, jnp.ones_like(v))
+    norm = jnp.linalg.norm(v_safe, axis=-1, keepdims=True)
+    stepped = jnp.cos(norm) * mu + jnp.sin(norm) * v_safe / norm
+    return jnp.where(safe, stepped, mu)

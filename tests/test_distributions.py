@@ -162,3 +162,27 @@ def test_sampling_is_jittable():
 
     ps, vmf = draw(jax.random.PRNGKey(14))
     assert ps.shape == vmf.shape == (4, 8, d)
+
+
+def test_sphere_ops_finite_grads_at_degenerate_points():
+    """householder_rotation at mu == e1 and exponential_map at v == 0 must have finite
+    gradients (the where/norm trap: norm's VJP at the zero vector emits NaN even on the
+    unselected branch without the double-where guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_tpu.ops.sphere import exponential_map, householder_rotation
+
+    mu = jnp.zeros((3, 4)).at[:, 0].set(1.0)  # exactly the north pole
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 4))
+    g = jax.grad(lambda m: jnp.sum(householder_rotation(x, m)))(mu)
+    assert bool(jnp.isfinite(g).all())
+    # the degenerate reflection is the identity
+    np.testing.assert_allclose(np.asarray(householder_rotation(x, mu)), np.asarray(x),
+                               rtol=1e-6)
+
+    v = jnp.zeros((3, 4))
+    np.testing.assert_allclose(np.asarray(exponential_map(mu, v)), np.asarray(mu))
+    gv = jax.grad(lambda t: jnp.sum(exponential_map(mu, t)))(v)
+    gm = jax.grad(lambda m: jnp.sum(exponential_map(m, v)))(mu)
+    assert bool(jnp.isfinite(gv).all()) and bool(jnp.isfinite(gm).all())

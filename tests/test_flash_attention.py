@@ -78,3 +78,36 @@ def test_flash_bf16_runs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_attention_dispatch_guards():
+    """Explicit impl choices must not silently change semantics: masks are rejected by
+    the kernel paths, fused requires self-attention shapes, fully-masked rows stay
+    finite on the XLA path, and causal auto-dispatch never switches mask alignment
+    (flash is top-left; XLA cross-length is bottom-right), so flash_supported requires
+    sq == sk."""
+    import jax
+    import pytest as _pytest
+
+    from multimodal_tpu.ops.attention import attention
+    from multimodal_tpu.ops.flash_attention import flash_supported
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 2, 8))
+    mask = jnp.zeros((1, 1, 4, 6))
+    with _pytest.raises(ValueError, match="mask"):
+        attention(q, k, v, mask=mask, impl="flash")
+    with _pytest.raises(ValueError, match="mask"):
+        attention(q[:, :4], k[:, :4], v[:, :4], mask=mask[..., :4], impl="fused")
+    with _pytest.raises(ValueError, match="sq == sk"):
+        attention(q, k, v, impl="fused")
+
+    # fully-masked rows: finite output (uniform), not NaN
+    full = jnp.full((1, 1, 4, 6), -jnp.inf)
+    out = attention(q, k, v, mask=full, impl="xla")
+    assert bool(jnp.isfinite(out).all())
+
+    # causal cross-length never auto-routes to the (top-left-aligned) flash kernel
+    assert not flash_supported((1, 512, 2, 64), (1, 4096, 2, 64), causal=True)
+    assert flash_supported((1, 4096, 2, 64), (1, 4096, 2, 64), causal=True)
