@@ -133,20 +133,27 @@ def ring_clip_loss(
     def direction(queries, first_block):
         """Streaming (logsumexp, sum-of-logits) of queries vs all rotating key blocks."""
 
-        def body(carry, _):
-            m, s, lsum, block = carry
+        def fold(m, s, lsum, block):
             logits = scale * queries @ block.T  # [B, B]
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
             s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1)
-            lsum = lsum + jnp.sum(logits, axis=-1)
+            return m_new, s, lsum + jnp.sum(logits, axis=-1)
+
+        def body(carry, _):
+            m, s, lsum, block = carry
+            # permute-then-fold: the resident block was folded before the scan, so
+            # exactly world-1 rotations run (a trailing rotation of an already-consumed
+            # block would be dead ICI traffic in forward AND the mirrored backward)
             block = jax.lax.ppermute(block, axis_name, perm)
-            return (m_new, s, lsum, block), None
+            m, s, lsum = fold(m, s, lsum, block)
+            return (m, s, lsum, block), None
 
         # carry accumulators must carry the same device-varying type as the rotating block
         # (shard_map manual-axes typing); derive them from the varying queries
         zero = jnp.zeros_like(queries[:, 0])
-        init = (zero - jnp.inf, zero, zero, first_block)
-        (m, s, lsum, _), _ = jax.lax.scan(body, init, None, length=world)
+        m0, s0, lsum0 = fold(zero - jnp.inf, zero, zero, first_block)
+        (m, s, lsum, _), _ = jax.lax.scan(
+            body, (m0, s0, lsum0, first_block), None, length=world - 1)
         return m + jnp.log(s), lsum  # [B], [B]
 
     lse_i, lsum_i = direction(image_features, text_features)  # img rows vs all text blocks

@@ -67,19 +67,19 @@ def siglip_loss(
 
     world = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % world) for i in range(world)]
-    eye = jnp.eye(n_local, dtype=jnp.float32)
 
-    # step 0 holds the local (positive-diagonal) block; every later visit is negatives-only
-    # (global positions are irrelevant: every off-diagonal pair is a negative)
-    def body(carry, step):
-        total, block = carry
-        logits = t * (fi @ block.T).astype(jnp.float32) + b
-        sign = jnp.where(step == 0, 2.0 * eye - 1.0, -jnp.ones_like(eye))
-        total = total + jnp.sum(jax.nn.softplus(-sign * logits))
+    # the local block holds the positives (block diagonal) and is folded BEFORE the ring
+    # starts; each of the world-1 scan steps permutes-then-folds a negatives-only block
+    # (global positions are irrelevant: every off-diagonal pair is a negative), so no
+    # trailing dead rotation runs
+    total = _pair_terms(fi, ft, t, b, diag=True)
+
+    def body(carry, _):
+        tot, block = carry
         block = jax.lax.ppermute(block, axis_name, perm)
-        return (total, block), None
+        logits = t * (fi @ block.T).astype(jnp.float32) + b
+        tot = tot + jnp.sum(jax.nn.softplus(logits))  # all negatives: -log sig(-l)
+        return (tot, block), None
 
-    # the f32 zero must carry the block's device-varying type (shard_map manual axes)
-    zero = jnp.sum(ft) * 0.0
-    (total, _), _ = jax.lax.scan(body, (zero, ft), jnp.arange(world))
+    (total, _), _ = jax.lax.scan(body, (total, ft), None, length=world - 1)
     return jax.lax.pmean(total / n_local, axis_name)
