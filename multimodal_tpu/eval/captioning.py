@@ -78,7 +78,12 @@ class CaptioningMetric:
         max_gen_len: int = 40,
         temperature: float = 0.0,
         seed: int = 0,
+        eos_token: Optional[int] = None,
     ):
+        """eos_token: id that ends generation AND truncates hypotheses before scoring.
+        Defaults to the caption model's own default (GPT-2's 50256) — callers using a
+        different vocab (e.g. CLIP BPE, EOT=49407) MUST pass theirs, otherwise decoding
+        never stops and post-EOT garbage deflates BLEU."""
         from multimodal_tpu.models.captioner import ClipCaptionModel
 
         self.model = caption_model or ClipCaptionModel()
@@ -90,6 +95,7 @@ class CaptioningMetric:
         self.max_gen_len = max_gen_len
         self.temperature = temperature
         self.seed = seed
+        self.eos_token = eos_token
 
     def train(self, clip_embeds: np.ndarray, token_ids: np.ndarray, params=None):
         """Train the caption model (frozen CLIP embeds in, next-token CE out). Returns
@@ -112,12 +118,15 @@ class CaptioningMetric:
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        if n == 0:
+            raise ValueError("captioning train set is empty")
+        bs = min(self.batch_size, n)  # never zero optimizer steps on a small train set
         rng = np.random.default_rng(self.seed)
         loss = float("nan")
         for epoch in range(self.epochs):
             order = rng.permutation(n)
-            for start in range(0, n - self.batch_size + 1, self.batch_size):
-                idx = order[start : start + self.batch_size]
+            for start in range(0, n - bs + 1, bs):
+                idx = order[start : start + bs]
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(clip_embeds[idx]),
                     jnp.asarray(token_ids[idx]),
@@ -128,11 +137,13 @@ class CaptioningMetric:
     def generate(self, params, clip_embeds: np.ndarray) -> np.ndarray:
         key = jax.random.PRNGKey(self.seed + 1)
 
+        gen_kwargs = {} if self.eos_token is None else {"eos_token": self.eos_token}
+
         @jax.jit
         def gen(params, emb, key):
             return self.model.apply(
                 params, emb, key, max_len=self.max_gen_len,
-                temperature=self.temperature, method=self.model.generate,
+                temperature=self.temperature, method=self.model.generate, **gen_kwargs,
             )
 
         outs = []
@@ -156,7 +167,14 @@ class CaptioningMetric:
         params = self.train(train_embeds, train_tokens, params=params)
         gen_ids = self.generate(params, eval_embeds)
         detok = self.detokenizer or (lambda ids: " ".join(str(i) for i in ids if i > 0))
-        hyps = [detok([int(t) for t in row if t > 0]).split() for row in gen_ids]
+
+        def clean(row):
+            ids = [int(t) for t in row]
+            if self.eos_token is not None and self.eos_token in ids:
+                ids = ids[: ids.index(self.eos_token)]  # drop EOS and everything after
+            return [t for t in ids if t > 0]
+
+        hyps = [detok(clean(row)).split() for row in gen_ids]
         refs = [[c.split()] for c in eval_captions]
         bleu = corpus_bleu(refs, hyps)
         return bleu, {"bleu": bleu, "num_eval": len(hyps)}

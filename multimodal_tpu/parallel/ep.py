@@ -13,7 +13,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
+from multimodal_tpu.parallel.mesh import DATA_AXIS
+
 EXPERT_AXIS = "expert"
 
 

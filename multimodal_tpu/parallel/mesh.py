@@ -44,13 +44,16 @@ def create_hybrid_mesh(num_slices: int, devices=None) -> Mesh:
     n = len(devices)
     assert n % num_slices == 0, f"{n} devices not divisible into {num_slices} slices"
     per_slice = n // num_slices
-    try:
+    # only devices that actually span slices go through the topology-aware placement;
+    # a genuine placement failure there must SURFACE (a silent reshape would misalign
+    # 'replica' with slice boundaries and put the per-step collectives on DCN)
+    if len({getattr(d, "slice_index", 0) for d in devices}) > 1:
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
             (1, per_slice), (num_slices, 1), devices=devices
         )
-    except Exception:  # virtual/CPU devices carry no slice_index
+    else:  # virtual/CPU devices or a single slice: plain reshape emulates the topology
         arr = np.asarray(devices).reshape(num_slices, per_slice)
     return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
 

@@ -178,14 +178,15 @@ def create_pp_mesh(data: int, stages: int, devices=None) -> Mesh:
 
 
 def make_pp_train_step(model, tx, *, mesh: Mesh, num_microbatches: int = 2,
-                       label_smoothing: float = 0.0, donate: bool = False):
+                       label_smoothing: float = 0.0, donate: bool = False,
+                       ema_decay=None):
     """Jitted CLIP train step with BOTH tower trunks pipelined over the 'stage' axis.
 
     The state holds pipeline-form params (to_pipeline_params): stems/heads replicated,
     stacked block trees sharded on the layer axis over 'stage'; batch sharded over 'data'.
     Numerically identical to the DP step (same loss, same updates) — tested — because the
     schedule only reorders the block applications. Two-tower non-variational CLIP with
-    default pooling (clip.py:284-320 tail recomputed here on the pipeline outputs).
+    CLS or mean pooling (clip.py:284-320 tail recomputed here on the pipeline outputs).
     """
     import optax
 
@@ -199,6 +200,11 @@ def make_pp_train_step(model, tx, *, mesh: Mesh, num_microbatches: int = 2,
     c = model.cfg
     assert not c.share_trunk and not c.vision.attentional_pool, (
         "pipeline step covers the two-tower CLIP family"
+    )
+    assert c.vision.moe_experts == 0, (
+        "pipeline step does not cover MoE trunks: MoE blocks have a different param "
+        "structure, so the per-block stacking (stack_block_params) cannot shard them "
+        "over 'stage' — use expert parallelism (parallel/ep.py) for MoE models"
     )
     vis_block = ResidualBlock(
         c.vision.width, c.vision.heads, c.vision.mlp_ratio, causal=False,
@@ -232,7 +238,10 @@ def make_pp_train_step(model, tx, *, mesh: Mesh, num_microbatches: int = 2,
             lambda bp, x: vis_block.apply({"params": bp}, x),
             p["visual_blocks"], _microbatch(v_in, num_microbatches),
         ).reshape(bl, *v_in.shape[1:])
-        fi = _ln(p["ln_post"], v_out[:, 0]).astype(jnp.float32) @ p["visual_projection"]
+        # pooling before ln_post, matching CLIP._pool_image (clip.py:296-303)
+        v_pool = (jnp.mean(v_out, axis=1) if c.vision.global_average_pool
+                  else v_out[:, 0])
+        fi = _ln(p["ln_post"], v_pool).astype(jnp.float32) @ p["visual_projection"]
 
         t_in = model.apply(
             {"params": p}, tokens, method=lambda m, tok: m.text_stem(tok)
@@ -246,12 +255,12 @@ def make_pp_train_step(model, tx, *, mesh: Mesh, num_microbatches: int = 2,
         )[:, 0]
         ft = _ln(p["ln_final"], eot).astype(jnp.float32) @ p["text_projection"]
 
-        loss = clip_loss(
+        # clip_loss already pmeans over axis_name internally — this is the global loss
+        return clip_loss(
             l2_normalize(fi), l2_normalize(ft), p["logit_scale"],
             label_smoothing=label_smoothing, normalize=False,
             axis_name="data", local_loss=True,
         )
-        return jax.lax.pmean(loss, "data")
 
     def step_fn(state: TrainState, batch, rng):
         specs = pp_param_specs(state.params)
@@ -266,8 +275,15 @@ def make_pp_train_step(model, tx, *, mesh: Mesh, num_microbatches: int = 2,
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_params = _clamp_logit_scale(new_params)
+        new_ema = state.ema_params  # preserved (and updated) like the engine step
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.minimum(ema_decay, (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, q: e * d + q.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params,
+            )
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               opt_state=new_opt_state)
+                               opt_state=new_opt_state, ema_params=new_ema)
         return new_state, {"loss": loss}
 
     jit_kwargs = {}

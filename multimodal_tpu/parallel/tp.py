@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
+from multimodal_tpu.parallel.mesh import DATA_AXIS
+
 MODEL_AXIS = "model"
 
 # (path-substring, ndim) -> spec builders; checked in order
@@ -49,7 +50,6 @@ def create_tp_mesh(data: int, model: int, devices=None) -> Mesh:
 def tp_spec_for_path(path: tuple, leaf, model_size: int) -> P:
     """PartitionSpec for one parameter (or optimizer-state mirror) leaf."""
     parts = [str(getattr(k, "key", k)) for k in path]
-    joined = "/".join(parts)
     for needles, spec in _RULES:
         if all(n in parts for n in needles):
             # only shard when the sharded dim divides evenly (tiny test configs may not)
@@ -63,7 +63,6 @@ def tp_spec_for_path(path: tuple, leaf, model_size: int) -> P:
             if ok:
                 return spec
             return P()
-    del joined
     return P()
 
 

@@ -469,6 +469,7 @@ def captioning_eval(model, params, args) -> dict:
             [i for i in ids if i not in (sot, eot)]).strip(),
         epochs=args.captioning_epochs, batch_size=min(32, len(train_items)),
         lr=2e-4, seed=args.seed,
+        eos_token=eot,  # CLIP-BPE EOT — without it generation never terminates
     )
     bleu, info = metric.compute(
         np.asarray(train_feats), np.asarray(train_tokens), np.asarray(eval_feats),

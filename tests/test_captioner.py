@@ -174,3 +174,30 @@ def test_captioning_metric_learns_synthetic_mapping():
     refs = [[list(map(str, want[0]))]] * 4 + [[list(map(str, want[1]))]] * 4
     bleu = corpus_bleu(refs, [[str(t) for t in h] for h in hyps])
     assert bleu > 0.5, f"BLEU {bleu}; generations {hyps}"
+
+
+def test_captioning_metric_eos_truncates_hypotheses():
+    """With eos_token set, compute() stops decoding at EOS and truncates hypotheses
+    before BLEU — without it, post-EOS garbage across max_gen_len deflates the score
+    (the reference stops at the EOT/stop token too, captioning.py:178-231)."""
+    rng = np.random.default_rng(1)
+    n_per = 48
+    emb_a = rng.normal(2.0, 0.1, (n_per, CLIP_DIM)).astype(np.float32)
+    emb_b = rng.normal(-2.0, 0.1, (n_per, CLIP_DIM)).astype(np.float32)
+    tok_a = np.tile(np.array([5, 6, 7, 3, 0, 0], np.int32), (n_per, 1))  # eos=3
+    tok_b = np.tile(np.array([9, 10, 11, 3, 0, 0], np.int32), (n_per, 1))
+    embeds = np.concatenate([emb_a, emb_b])
+    tokens = np.concatenate([tok_a, tok_b])
+
+    detok = lambda ids: " ".join(str(i) for i in ids)  # noqa: E731
+    metric = CaptioningMetric(
+        caption_model=tiny_caption_model(), epochs=14, batch_size=16, lr=2e-3,
+        max_gen_len=12, eos_token=3, detokenizer=detok,
+    )
+    bleu, info = metric.compute(
+        embeds, tokens, np.concatenate([emb_a[:4], emb_b[:4]]),
+        ["5 6 7"] * 4 + ["9 10 11"] * 4,
+    )
+    assert info["num_eval"] == 8
+    # max_gen_len is 4x the caption length; only EOS truncation gets BLEU this high
+    assert bleu > 0.5, f"BLEU {bleu}"

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
-from multimodal_tpu.models import create_model, init_params
+from multimodal_tpu.models import add_model_config, create_model, init_params
 from multimodal_tpu.parallel import create_mesh, replicated_sharding, shard_batch
 from multimodal_tpu.parallel.pp import (
     create_pp_mesh,
@@ -104,9 +104,23 @@ def test_pipeline_grads_match_sequential():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pp_train_step_matches_dp():
-    """Full pipelined CLIP train step == DP train step: loss and updated params."""
-    model = create_model("tiny-test")
+add_model_config(
+    "tiny-test-gap",  # mean-pool variant: the pp step must reproduce _pool_image exactly
+    {
+        "embed_dim": 64,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16,
+                       "heads": 2, "global_average_pool": True},
+        "text_cfg": {"context_length": 16, "vocab_size": 1000, "width": 64, "heads": 2,
+                     "layers": 2},
+    },
+)
+
+
+@pytest.mark.parametrize("model_name", ["tiny-test", "tiny-test-gap"])
+def test_pp_train_step_matches_dp(model_name):
+    """Full pipelined CLIP train step == DP train step: loss and updated params
+    (CLS pooling and global-average pooling)."""
+    model = create_model(model_name)
     params = init_params(model)
     mk_tx = lambda: make_optimizer(  # noqa: E731
         make_schedule("cosine", 1e-3, 2, 100), weight_decay=0.1, grad_clip_norm=1.0)
@@ -188,3 +202,43 @@ def test_pp_descends_on_fixed_batch():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_pp_step_preserves_and_updates_ema():
+    """A state created with ema=True keeps (and decays) ema_params through the pp step."""
+    model = create_model("tiny-test")
+    tx = make_optimizer(make_schedule("cosine", 1e-2, 2, 100), weight_decay=0.1)
+    mesh = create_pp_mesh(2, 2)
+    state = TrainState.create(to_pipeline_params(init_params(model)), tx, ema=True)
+    state = jax.device_put(state, pp_state_shardings(state, mesh))
+    step = make_pp_train_step(model, tx, mesh=mesh, num_microbatches=2, ema_decay=0.9)
+    rng_np = np.random.default_rng(5)
+    c = model.cfg
+    batch = jax.device_put(
+        {
+            "image": rng_np.integers(
+                0, 256, (8, c.vision.image_size, c.vision.image_size, 3), dtype=np.uint8),
+            "text": rng_np.integers(
+                1, c.text.vocab_size - 1, (8, c.text.context_length)).astype(np.int32),
+        },
+        jax.sharding.NamedSharding(mesh, P("data")),
+    )
+    before = jax.device_get(state.ema_params)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+    after = jax.device_get(state.ema_params)
+    new_p = jax.device_get(state.params)
+    # EMA moved off its init and tracks the debiased schedule d = min(0.9, 1/10)
+    leaf = lambda t: np.asarray(  # noqa: E731
+        t["params"]["visual_blocks"]["mlp"]["c_fc"]["kernel"])
+    d = min(0.9, 1.0 / 10.0)
+    np.testing.assert_allclose(
+        leaf(after), d * leaf(before) + (1 - d) * leaf(new_p), rtol=1e-5, atol=1e-7)
+
+
+def test_pp_step_rejects_moe_trunks():
+    model = create_model("tiny-test-moe")
+    tx = make_optimizer(make_schedule("cosine", 1e-2, 2, 100))
+    mesh = create_pp_mesh(2, 2)
+    with pytest.raises(AssertionError, match="MoE"):
+        make_pp_train_step(model, tx, mesh=mesh)
