@@ -154,17 +154,42 @@ def main():
         loss = float(m["loss"])  # one sync at the end of the chain
         return time.perf_counter() - t0, loss
 
-    # two-point measurement cancels the constant dispatch/fetch round-trip overhead
-    t_one, _ = timed_chain(1)
-    dt, loss_val = timed_chain(steps)
-    step_time = max((dt - t_one) / max(steps - 1, 1), 1e-9)
+    # Two-point measurement (time a 1-step and an N-step chain through one host fetch,
+    # subtract) cancels the constant dispatch/fetch round trip. A SINGLE pair is fragile:
+    # one RTT fluctuation on the remote-chip tunnel lands entirely in the difference
+    # (observed: a --quick run reporting 3.3x the bf16 peak). Median over repeated pairs.
+    repeats = 2 if args.quick else 3
+    estimates = []
+    loss_val = float("nan")
+    for _ in range(repeats):
+        t_one, _ = timed_chain(1)
+        dt, loss_val = timed_chain(steps)
+        estimates.append(max((dt - t_one) / max(steps - 1, 1), 1e-9))
+    estimates.sort()
+    step_time = estimates[len(estimates) // 2]
+
+    # Sanity gate: an implied throughput above the chip's bf16 peak is a measurement
+    # failure, never a real speed. Re-measure once with longer chains (more signal per
+    # fetch) before reporting anything.
+    flops_per_sample = train_flops_per_sample(model.cfg)
+    peak_flops = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    if peak_flops and (flops_per_sample * batch / step_time) > 0.95 * peak_flops:
+        print("[bench] implied MFU >95%: re-measuring with longer chains",
+              file=sys.stderr, flush=True)
+        estimates = []
+        for _ in range(repeats):
+            t_one, _ = timed_chain(2)
+            dt, loss_val = timed_chain(2 * steps)
+            estimates.append(max((dt - t_one) / max(2 * steps - 2, 1), 1e-9))
+        estimates.sort()
+        step_time = estimates[len(estimates) // 2]
 
     n_chips = len(jax.devices())
     samples_per_s = batch / step_time
     per_chip = samples_per_s / n_chips
     metrics = {"loss": loss_val}
-    flops = train_flops_per_sample(model.cfg)
-    peak = PEAK_FLOPS.get(dev.device_kind)
+    flops = flops_per_sample
+    peak = peak_flops
     mfu = (flops * per_chip / peak) if peak else None
     print(
         f"[bench] {step_time*1e3:.2f} ms/step -> {samples_per_s:.1f} samples/s "
