@@ -319,8 +319,10 @@ class CLIP(nn.Module):
     def encode_text(self, tokens, normalize: bool = False):
         x = self.text_stem(tokens)
         if self.cfg.share_trunk:
-            mask = causal_additive_mask(x.shape[1])
-            x = self.trunk(x, mask)
+            # static causal flag (not an additive runtime mask) so the shared trunk's
+            # text pass dispatches to the fused block kernel like the vision pass;
+            # numerically identical to causal_additive_mask (same -inf upper triangle)
+            x = self.trunk(x, causal=True)
             pooled = self.ln_post(eot_pool(x, tokens))
             feats = pooled.astype(jnp.float32) @ self.projection
         else:

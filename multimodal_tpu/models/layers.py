@@ -204,9 +204,13 @@ class MultiHeadAttention(nn.Module):
     logit_scale_max: float = 4.6052  # log(1/0.01), transformer.py:98
 
     @nn.compact
-    def __call__(self, x, mask=None, ln_params=None):
+    def __call__(self, x, mask=None, ln_params=None, causal: bool = False):
         import os
 
+        # call-time causal (static python bool) lets a SHARED trunk run its text pass
+        # through the fused block kernel instead of an additive runtime mask, which
+        # would force the XLA path (model.py:175-194's one-trunk-two-modalities design)
+        causal = causal or self.causal
         head_dim = self.width // self.heads
         b, s = x.shape[:2]
         # separate q/k/v projections: a fused [W, 3W] Dense + split emits XLA layout copies
@@ -243,7 +247,7 @@ class MultiHeadAttention(nn.Module):
                 cast(wq), cast(bq), cast(wk), cast(bk), cast(wv), cast(bv),
                 cast(wo), cast(bo),
                 heads=self.heads,
-                causal=self.causal,
+                causal=causal,
                 **ln_kw,
             )
 
@@ -274,9 +278,9 @@ class MultiHeadAttention(nn.Module):
             # fold exp(clamped per-head scale) into q; undo attention()'s 1/sqrt(D)
             temp = jnp.exp(jnp.clip(logit_scale, None, self.logit_scale_max))
             qn = qn * (temp * (head_dim ** 0.5)).astype(q.dtype)[None, None, :, None]
-            out = attention(qn, kn, v, causal=self.causal, mask=mask, impl="xla")
+            out = attention(qn, kn, v, causal=causal, mask=mask, impl="xla")
         else:
-            out = attention(q, k, v, causal=self.causal, mask=mask)
+            out = attention(q, k, v, causal=causal, mask=mask)
         if self.scale_heads:
             head_scale = self.param(
                 "head_scale", nn.initializers.ones, (self.heads,), jnp.float32
@@ -304,7 +308,7 @@ class ResidualBlock(nn.Module):
     moe_capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, causal: bool = False):
         ls = (
             (lambda name: LayerScale(self.ls_init_value, name=name))
             if self.ls_init_value is not None
@@ -322,7 +326,12 @@ class ResidualBlock(nn.Module):
                 scaled_cosine=self.scaled_cosine,
                 scale_heads=self.scale_heads,
                 name="attn",
-            )(x, mask=mask, ln_params=LayerNorm(name="ln_1")(x, params_only=True))
+            )(
+                x,
+                mask=mask,
+                ln_params=LayerNorm(name="ln_1")(x, params_only=True),
+                causal=causal,
+            )
         )
         if self.moe_experts > 0:
             from multimodal_tpu.models.moe import MoEMLP
@@ -372,8 +381,12 @@ class Transformer(nn.Module):
     moe_capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+    def __call__(self, x, mask=None, causal: bool = False):
+        # causal is a static python bool (argnum 3 counting self) — it selects a
+        # different compiled kernel, so remat must treat it as static, not traced
+        block_cls = (
+            nn.remat(ResidualBlock, static_argnums=(3,)) if self.remat else ResidualBlock
+        )
         for i in range(self.layers):
             is_moe = self.moe_experts > 0 and (i % self.moe_every == self.moe_every - 1)
             x = block_cls(
@@ -391,5 +404,5 @@ class Transformer(nn.Module):
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
                 name=f"resblock_{i}",
-            )(x, mask)
+            )(x, mask, causal)
         return x

@@ -140,3 +140,25 @@ def test_param_count_vit_b32():
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     # OpenAI CLIP ViT-B/32: ~151.3M params
     assert 140e6 < n < 160e6, n
+
+
+def test_static_causal_matches_additive_mask():
+    """trunk(x, causal=True) must equal trunk(x, causal_additive_mask(S)): the shared
+    trunk's text pass uses the static flag (so it can dispatch to the fused kernel)
+    while the additive mask remains the general-mask reference semantics
+    (align_clip/model.py:230-243 causal text pass through the shared transformer)."""
+    from multimodal_tpu.models.clip import causal_additive_mask
+    from multimodal_tpu.models.layers import Transformer
+
+    for remat in (False, True):
+        trunk = Transformer(width=32, layers=2, heads=2, remat=remat)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 32)), jnp.float32)
+        params = trunk.init(jax.random.PRNGKey(0), x)
+        via_flag = trunk.apply(params, x, causal=True)
+        via_mask = trunk.apply(params, x, causal_additive_mask(9))
+        np.testing.assert_allclose(
+            np.asarray(via_flag), np.asarray(via_mask), atol=1e-6, err_msg=f"remat={remat}"
+        )
+        # and the flag must actually mask: bidirectional differs
+        bidi = trunk.apply(params, x)
+        assert not np.allclose(np.asarray(via_flag), np.asarray(bidi))
