@@ -148,24 +148,58 @@ class MLP(nn.Module):
     depth: int = 12  # total transformer depth, for the residual-branch init scaling
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_params=None, residual: bool = False):
+        import os
+
+        # ln_params: raw (scale, bias) of the block's ln_2, handed in pre-LN so the fused
+        # Pallas kernel (ops/block_mlp.py) can fold LN + both matmuls + activation + the
+        # residual add into one program; residual=True returns x + mlp(LN(x)) directly
+        if residual and ln_params is None:
+            raise ValueError("residual=True requires ln_params (the pre-LN handoff)")
+        x_in = x
         hidden = int(self.width * self.expansion)
         # CLIP init scheme (align_clip/model.py:199-208)
-        fc_init = nn.initializers.normal(stddev=(2 * self.width) ** -0.5)
-        proj_init = nn.initializers.normal(
-            stddev=(self.width ** -0.5) * ((2 * self.depth) ** -0.5)
+        w1, b1 = _DenseParams(
+            hidden, (2 * self.width) ** -0.5, name="c_fc")(self.width)
+        w2, b2 = _DenseParams(
+            self.width, (self.width ** -0.5) * ((2 * self.depth) ** -0.5), name="c_proj",
+        )(hidden)
+
+        act_name = (
+            "quick_gelu" if self.act is quick_gelu
+            else "gelu" if self.act is nn.gelu
+            else None
         )
-        x = nn.Dense(
-            hidden, dtype=self.dtype, param_dtype=jnp.float32, kernel_init=fc_init, name="c_fc"
-        )(x)
-        x = self.act(x)
-        return nn.Dense(
-            self.width,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=proj_init,
-            name="c_proj",
-        )(x)
+        # The fused kernel is OPT-IN (MMTPU_BLOCK_MLP=1): the end-to-end A/B measured it
+        # -3.6% on ViT-B/16 (815.5 vs 845.7 samples/s with the attention-residual fusion
+        # held on) — XLA's MLP is already at its matmul floor and the kernel's saved
+        # [T,4W] pre-activation + sequential weight-grad accumulation cost more than the
+        # LN/residual traffic they delete (docs/DESIGN.md "fused MLP branch").
+        use_kernel = (
+            ln_params is not None
+            and act_name is not None
+            and jax.devices()[0].platform == "tpu"
+            and os.environ.get("MMTPU_BLOCK_MLP") == "1"
+        )
+        if use_kernel:
+            from multimodal_tpu.ops.block_mlp import block_mlp, block_mlp_supported
+
+            use_kernel = block_mlp_supported(self.width, hidden, act_name)
+        if use_kernel:
+            cast = lambda a: a.astype(self.dtype)  # noqa: E731
+            return block_mlp(
+                x, cast(w1), cast(b1), cast(w2), cast(b2),
+                ln_scale=ln_params[0], ln_bias=ln_params[1],
+                act=act_name, residual=residual,
+            )
+
+        if ln_params is not None:  # non-kernel path: apply the pre-LN here
+            from multimodal_tpu.ops.block_attention import _ln_rows
+
+            x = _ln_rows(x, ln_params[0], ln_params[1], 1e-5)
+        h = x @ w1.astype(self.dtype) + b1.astype(self.dtype)
+        y = self.act(h) @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        return x_in + y if residual else y
 
 
 class _DenseParams(nn.Module):
@@ -204,9 +238,15 @@ class MultiHeadAttention(nn.Module):
     logit_scale_max: float = 4.6052  # log(1/0.01), transformer.py:98
 
     @nn.compact
-    def __call__(self, x, mask=None, ln_params=None, causal: bool = False):
+    def __call__(self, x, mask=None, ln_params=None, causal: bool = False,
+                 fuse_residual: bool = False):
         import os
 
+        # fuse_residual: return the complete residual update x + attn(LN(x)) so the
+        # block kernel can fold the add in-VMEM (requires the pre-LN handoff)
+        if fuse_residual and ln_params is None:
+            raise ValueError("fuse_residual requires ln_params (the pre-LN handoff)")
+        x_in = x
         # call-time causal (static python bool) lets a SHARED trunk run its text pass
         # through the fused block kernel instead of an additive runtime mask, which
         # would force the XLA path (model.py:175-194's one-trunk-two-modalities design)
@@ -248,6 +288,7 @@ class MultiHeadAttention(nn.Module):
                 cast(wo), cast(bo),
                 heads=self.heads,
                 causal=causal,
+                residual=fuse_residual,
                 **ln_kw,
             )
 
@@ -287,7 +328,8 @@ class MultiHeadAttention(nn.Module):
             )
             out = out * head_scale.astype(out.dtype)[None, None, :, None]
         out = out.reshape(b, s, self.width)
-        return out @ wo.astype(out.dtype) + bo.astype(out.dtype)
+        out = out @ wo.astype(out.dtype) + bo.astype(out.dtype)
+        return x_in + out if fuse_residual else out
 
 
 class ResidualBlock(nn.Module):
@@ -315,24 +357,27 @@ class ResidualBlock(nn.Module):
             else (lambda name: (lambda y: y))
         )
         # ln_1 is handed to the attention as raw (scale, bias) so the block kernel can
-        # fold it in-VMEM; every consumer path applies the identical _ln_rows numerics
-        x = x + ls("ls_1")(
-            MultiHeadAttention(
-                self.width,
-                self.heads,
-                causal=self.causal,
-                dtype=self.dtype,
-                depth=self.depth,
-                scaled_cosine=self.scaled_cosine,
-                scale_heads=self.scale_heads,
-                name="attn",
-            )(
-                x,
-                mask=mask,
-                ln_params=LayerNorm(name="ln_1")(x, params_only=True),
-                causal=causal,
-            )
+        # fold it in-VMEM; every consumer path applies the identical _ln_rows numerics.
+        # Without LayerScale the residual add itself also moves into the attention
+        # (kernel-fused where available): attn returns x + branch directly.
+        fuse_res = self.ls_init_value is None
+        attn_out = MultiHeadAttention(
+            self.width,
+            self.heads,
+            causal=self.causal,
+            dtype=self.dtype,
+            depth=self.depth,
+            scaled_cosine=self.scaled_cosine,
+            scale_heads=self.scale_heads,
+            name="attn",
+        )(
+            x,
+            mask=mask,
+            ln_params=LayerNorm(name="ln_1")(x, params_only=True),
+            causal=causal,
+            fuse_residual=fuse_res,
         )
+        x = attn_out if fuse_res else x + ls("ls_1")(attn_out)
         if self.moe_experts > 0:
             from multimodal_tpu.models.moe import MoEMLP
 
@@ -356,6 +401,15 @@ class ResidualBlock(nn.Module):
                 depth=self.depth,
                 name="mlp",
             )
+            if self.ls_init_value is None:
+                # pre-LN handoff + fused residual: on TPU the whole branch runs as one
+                # Pallas program (ops/block_mlp.py); elsewhere MLP applies the identical
+                # _ln_rows numerics itself, so the two paths quantize the same
+                return mlp(
+                    x,
+                    ln_params=LayerNorm(name="ln_2")(x, params_only=True),
+                    residual=True,
+                )
         x = x + ls("ls_2")(mlp(LayerNorm(name="ln_2")(x)))
         return x
 

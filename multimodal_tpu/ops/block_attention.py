@@ -140,7 +140,8 @@ def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
 
 
 def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
-                scale, causal, kv_len=None, group_proj=True, ln_eps=None):
+                scale, causal, kv_len=None, group_proj=True, ln_eps=None,
+                residual=False):
     # NOTE: the four (LN x group) branches below are deliberately spelled out rather than
     # factored through shared helpers: Mosaic's lowering is sensitive to the exact traced
     # op sequence at these shapes (an innocuous [G,S,W]->[G*S,W] merge once sent ViT-B/16
@@ -170,7 +171,10 @@ def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
                 outs.append(
                     _attend(q[r], k[r], v[r], heads, head_dim, scale, causal, kv_len))
             attn = jnp.concatenate(outs, axis=0).astype(x_all.dtype)
-            y_ref[...] = _proj(attn, wo, bo).reshape(g_imgs, s, w)
+            y = _proj(attn, wo, bo).reshape(g_imgs, s, w)
+            # fused residual: the raw pre-LN stream is already resident — adding it here
+            # deletes the whole [B,S,W] XLA add op (2 reads + 1 write of HBM per layer)
+            y_ref[...] = y + x_ref[...] if residual else y
             return
         for g in range(g_imgs):
             x = x_all[g * s : (g + 1) * s]
@@ -178,7 +182,8 @@ def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
             k = _proj(x, wk, bk)
             v = _proj(x, wv, bv)
             attn = _attend(q, k, v, heads, head_dim, scale, causal, kv_len).astype(x.dtype)
-            y_ref[g] = _proj(attn, wo, bo)
+            y = _proj(attn, wo, bo)
+            y_ref[g] = y + x_ref[g] if residual else y
         return
     if group_proj and g_imgs > 1:
         # ONE [G*S, W] matmul per projection: per-image [S, W] projs leave the MXU at M=50
@@ -207,7 +212,7 @@ def _fwd_kernel(x_ref, *refs, g_imgs, heads, head_dim,
 
 
 def _bwd_kernel(x_ref, dy_ref, *refs, g_imgs, heads, head_dim,
-                scale, causal, kv_len=None, ln_eps=None):
+                scale, causal, kv_len=None, ln_eps=None, residual=False):
     if ln_eps is not None:
         (gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
          dx_ref, dq_ref, dk_ref, dv_ref, attnpre_ref, ln_ref, dg_ref, db_ref) = refs
@@ -314,6 +319,9 @@ def _bwd_kernel(x_ref, dy_ref, *refs, g_imgs, heads, head_dim,
             - jnp.mean(dxhat, axis=-1, keepdims=True)
             - xhat32 * jnp.mean(dxhat * xhat32, axis=-1, keepdims=True)
         )
+    if residual:
+        # y = x + f(LN(x)): the passthrough cotangent is dy itself, folded in-VMEM
+        dx = dx + dy_all.astype(jnp.float32)
     dx_ref[...] = dx.astype(x_all.dtype).reshape(g_imgs, s, w)
 
 
@@ -517,9 +525,9 @@ def _block_attention_bwd(heads, causal, kv_len, residuals, dy):
 _block_attention.defvjp(_block_attention_fwd, _block_attention_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def _block_attention_ln(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
-                        heads, causal, kv_len, ln_eps):
+                        heads, causal, kv_len, ln_eps, residual=False):
     b, s, w = x.shape
     g_imgs = _images_per_program(b, s, fwd=True)
     head_dim = w // heads
@@ -528,7 +536,7 @@ def _block_attention_ln(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
     kern = functools.partial(
         _fwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
         scale=head_dim ** -0.5, causal=causal, kv_len=kv_len,
-        group_proj=_group_proj_enabled(s), ln_eps=ln_eps,
+        group_proj=_group_proj_enabled(s), ln_eps=ln_eps, residual=residual,
     )
     return pl.pallas_call(
         kern,
@@ -544,13 +552,14 @@ def _block_attention_ln(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
 
 
 def _block_attention_ln_fwd(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
-                            heads, causal, kv_len, ln_eps):
+                            heads, causal, kv_len, ln_eps, residual=False):
     out = _block_attention_ln(
-        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len, ln_eps)
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len, ln_eps,
+        residual)
     return out, (x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residuals, dy):
+def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residual, residuals, dy):
     x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo = residuals
     b, s, w = x.shape
     g_imgs = _images_per_program(b, s, fwd=False)
@@ -562,6 +571,7 @@ def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residuals, dy):
     kern = functools.partial(
         _bwd_kernel, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
         scale=head_dim ** -0.5, causal=causal, kv_len=kv_len, ln_eps=ln_eps,
+        residual=residual,
     )
     shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
     pshape = jax.ShapeDtypeStruct((n_prog * 8, w), jnp.float32)
@@ -604,7 +614,8 @@ _block_attention_ln.defvjp(_block_attention_ln_fwd, _block_attention_ln_bwd)
 
 
 def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False,
-                    ln_scale=None, ln_bias=None, ln_eps: float = 1e-5):
+                    ln_scale=None, ln_bias=None, ln_eps: float = 1e-5,
+                    residual: bool = False):
     """Fused QKV-projection + multi-head attention + output projection.
 
     x: [B, S, W] (post-LN residual-branch input); weights [W, W], biases [W].
@@ -620,9 +631,19 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
     whole-group [G*S, W] projection collapse is tile-aligned (padded keys are softmax-masked
     inside the kernel; padded query rows are sliced off here, and their cotangents enter
     the backward as zeros through this slice's vjp). Padded rows of a pre-LN input
-    normalize to the bias vector, which the same masks make inert."""
+    normalize to the bias vector, which the same masks make inert.
+
+    With ``residual=True`` (requires ``ln_scale``) the return value is the complete
+    residual update ``x + attn(LN(x))`` — on the fused-LN kernel path the add happens
+    in-VMEM on the already-resident raw block (forward) and the passthrough cotangent
+    folds into dx in-VMEM (backward), deleting the standalone [B,S,W] XLA adds. On
+    fallback paths the add is a plain XLA op with identical numerics. Disable the
+    in-kernel form with MMTPU_BLOCK_ATTN_RESIDUAL=0 (A/B)."""
     import os
 
+    if residual and ln_scale is None:
+        raise ValueError("residual=True requires the fused pre-LN form (ln_scale)")
+    x_raw = x
     s = x.shape[1]
     # Default: fold only at S>128 — measured +1.8% on ViT-B/16 (S=197) where the
     # [B,S,W] LN round-trips are large, but -2.8% on ViT-B/32 (S=50) where the extra
@@ -641,6 +662,10 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
         and os.environ.get("MMTPU_BLOCK_ATTN_BWD") != "xla"
         and not os.environ.get("MMTPU_BLOCK_ATTN_BWD_LARGE")
     )
+    fused_residual = (
+        residual and fused_ln
+        and os.environ.get("MMTPU_BLOCK_ATTN_RESIDUAL") != "0"
+    )
     if ln_scale is not None and not fused_ln:
         x = _ln_rows(x, ln_scale, ln_bias, ln_eps)
         ln_scale = ln_bias = None
@@ -650,14 +675,18 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
         if ln_scale is not None:
             out = _block_attention_ln(
                 x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-                heads, causal, s, ln_eps)
+                heads, causal, s, ln_eps, fused_residual)
         else:
             out = _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, s)
-        return out[:, :s]
-    if ln_scale is not None:
-        return _block_attention_ln(
+        out = out[:, :s]
+    elif ln_scale is not None:
+        out = _block_attention_ln(
             x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-            heads, causal, None, ln_eps)
-    return _block_attention(
-        x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, None
-    )
+            heads, causal, None, ln_eps, fused_residual)
+    else:
+        out = _block_attention(
+            x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, None
+        )
+    if residual and not fused_residual:
+        out = x_raw + out
+    return out

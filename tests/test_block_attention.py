@@ -232,3 +232,61 @@ def test_ln_fold_env_fallback_identical(monkeypatch):
                               ln_scale=gamma, ln_bias=beta)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal,b,s,w,heads", [
+    (False, 4, 50, 256, 4),     # short-S whole-group path (fold forced by env)
+    (True, 3, 77, 512, 8),      # causal text-tower dims
+    (False, 2, 197, 768, 12),   # padded 16-aligned large-S path
+])
+def test_fused_residual_matches_unfused(causal, b, s, w, heads, monkeypatch):
+    """residual=True must return x + attn(LN(x)) with the full vjp (incl. the
+    passthrough dx term) matching the reference composition."""
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")
+    x, ws = _make_inputs(jax.random.PRNGKey(21), b, s, w, jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(22), (w,), jnp.float32)
+    beta = 0.1 * jax.random.normal(jax.random.PRNGKey(23), (w,), jnp.float32)
+
+    def loss_fused(x, gamma, beta, *ws):
+        y = block_attention(x, *ws, heads=heads, causal=causal,
+                            ln_scale=gamma, ln_bias=beta, residual=True)
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_ref(x, gamma, beta, *ws):
+        y = x + _ref_block_attention(
+            _ref_ln(x, gamma, beta), *ws, heads=heads, causal=causal)
+        return jnp.sum(jnp.sin(y)), y
+
+    (lk, yk), gk = jax.value_and_grad(loss_fused, argnums=(0, 1, 2), has_aux=True)(
+        x, gamma, beta, *ws)
+    (lr, yr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(
+        x, gamma, beta, *ws)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=5e-5, rtol=5e-5)
+    for name, a, r in zip(["dx", "dgamma", "dbeta"], gk, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4 * scale, rtol=2e-3, err_msg=name)
+
+
+def test_fused_residual_env_fallback_identical(monkeypatch):
+    """MMTPU_BLOCK_ATTN_RESIDUAL=0 routes the add through XLA; values must agree with
+    the in-kernel add to float tolerance."""
+    b, s, w, heads = 4, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(24), b, s, w, jnp.float32)
+    gamma = jnp.ones((w,), jnp.float32)
+    beta = jnp.zeros((w,), jnp.float32)
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")
+    fused = block_attention(x, *ws, heads=heads, causal=False,
+                            ln_scale=gamma, ln_bias=beta, residual=True)
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_RESIDUAL", "0")
+    unfused = block_attention(x, *ws, heads=heads, causal=False,
+                              ln_scale=gamma, ln_bias=beta, residual=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_residual_requires_ln():
+    b, s, w, heads = 4, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(25), b, s, w, jnp.float32)
+    with pytest.raises(ValueError):
+        block_attention(x, *ws, heads=heads, residual=True)
