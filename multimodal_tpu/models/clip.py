@@ -45,6 +45,29 @@ def causal_additive_mask(seq_len: int, dtype=jnp.float32):
 
 
 
+def _stream_pad(x, vcfg):
+    """Pad a vision residual stream ONCE to the block kernel's 16-aligned length.
+
+    Returns (padded_x, real_seq) — or (x, None) when stream padding does not apply.
+    The trunk then runs every block at the padded length with ``kv_len=real_seq``
+    (pad keys masked in-kernel) and the caller slices back to ``real_seq`` before any
+    pooling. Deletes the ~10 ms/step of per-layer pad/slice HBM traffic the per-call
+    padding in ops.block_attention costs at ViT-B/16 shapes (docs/DESIGN.md).
+
+    Config gates: scaled_cosine / scale_heads route attention off the kernel path, and
+    MoE MLPs route tokens through finite expert capacity (pad rows would contend with
+    real rows), so those keep the unpadded per-call behavior."""
+    if vcfg.scaled_cosine or vcfg.scale_heads or vcfg.moe_experts > 0:
+        return x, None
+    from multimodal_tpu.ops.block_attention import stream_pad_len
+
+    b, s = x.shape[:2]
+    s_pad = stream_pad_len(b, s, vcfg.width, vcfg.heads)
+    if s_pad is None:
+        return x, None
+    return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0))), s
+
+
 def _resolve_act(name: str):
     """Config string -> activation ("quick_gelu" = OpenAI CLIP, "gelu" = OpenCLIP-style;
     reference factory.py:137-140 forces the former via --force-quick-gelu)."""
@@ -304,14 +327,14 @@ class CLIP(nn.Module):
 
     def encode_image(self, images, normalize: bool = False, train: bool = False):
         x = self.visual_stem(images, train=train)
-        if self.cfg.share_trunk:
-            x = self.trunk(x)
-            pooled = self.ln_post(self._pool_image(x))
-            feats = pooled.astype(jnp.float32) @ self.projection
-        else:
-            x = self.visual_trunk(x)
-            pooled = self.ln_post(self._pool_image(x))
-            feats = pooled.astype(jnp.float32) @ self.visual_projection
+        x, real_s = _stream_pad(x, self.cfg.vision)
+        trunk = self.trunk if self.cfg.share_trunk else self.visual_trunk
+        x = trunk(x, kv_len=real_s)
+        if real_s is not None:
+            x = x[:, :real_s]
+        pooled = self.ln_post(self._pool_image(x))
+        proj = self.projection if self.cfg.share_trunk else self.visual_projection
+        feats = pooled.astype(jnp.float32) @ proj
         if normalize:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
@@ -433,7 +456,11 @@ class VariationalCLIP(nn.Module):
         return jnp.exp(raw)  # Gaussian mode: per-dim variance
 
     def encode_image(self, images, train: bool = False):
-        x = self.visual_trunk(self.visual_stem(images, train=train))
+        x = self.visual_stem(images, train=train)
+        x, real_s = _stream_pad(x, self.cfg.vision)
+        x = self.visual_trunk(x, kv_len=real_s)
+        if real_s is not None:
+            x = x[:, :real_s]  # before pooling: the conc token is the LAST real row
         mean = self.ln_post(x[:, 0]).astype(jnp.float32) @ self.mean_image_projection
         conc_tok = self.ln_post(x[:, -1]).astype(jnp.float32) @ self.var_image_projection
         scale = (

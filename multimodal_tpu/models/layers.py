@@ -239,11 +239,13 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, ln_params=None, causal: bool = False,
-                 fuse_residual: bool = False):
+                 fuse_residual: bool = False, kv_len: int | None = None):
         import os
 
         # fuse_residual: return the complete residual update x + attn(LN(x)) so the
         # block kernel can fold the add in-VMEM (requires the pre-LN handoff)
+        # kv_len: the tower holds a stream-padded sequence (ops.block_attention.
+        # stream_pad_len); keys >= kv_len are masked on every path
         if fuse_residual and ln_params is None:
             raise ValueError("fuse_residual requires ln_params (the pre-LN handoff)")
         x_in = x
@@ -289,9 +291,17 @@ class MultiHeadAttention(nn.Module):
                 heads=self.heads,
                 causal=causal,
                 residual=fuse_residual,
+                kv_len=kv_len,
                 **ln_kw,
             )
 
+        if kv_len is not None and kv_len < s:
+            # stream-padded stream on a non-kernel path: mask the pad keys additively
+            # (same -1e30 the kernel uses), identical real-row numerics
+            pad_mask = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3) < kv_len, 0.0, -1e30
+            )
+            mask = pad_mask if mask is None else mask + pad_mask
         if ln_params is not None:  # non-kernel path: apply the pre-LN here
             from multimodal_tpu.ops.block_attention import _ln_rows
 
@@ -350,7 +360,7 @@ class ResidualBlock(nn.Module):
     moe_capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, mask=None, causal: bool = False):
+    def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
         ls = (
             (lambda name: LayerScale(self.ls_init_value, name=name))
             if self.ls_init_value is not None
@@ -376,6 +386,7 @@ class ResidualBlock(nn.Module):
             ln_params=LayerNorm(name="ln_1")(x, params_only=True),
             causal=causal,
             fuse_residual=fuse_res,
+            kv_len=kv_len,
         )
         x = attn_out if fuse_res else x + ls("ls_1")(attn_out)
         if self.moe_experts > 0:
@@ -435,11 +446,11 @@ class Transformer(nn.Module):
     moe_capacity_factor: float = 1.25
 
     @nn.compact
-    def __call__(self, x, mask=None, causal: bool = False):
-        # causal is a static python bool (argnum 3 counting self) — it selects a
-        # different compiled kernel, so remat must treat it as static, not traced
+    def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
+        # causal/kv_len are static python values (argnums 3/4 counting self) — they
+        # select different compiled kernels, so remat must treat them as static
         block_cls = (
-            nn.remat(ResidualBlock, static_argnums=(3,)) if self.remat else ResidualBlock
+            nn.remat(ResidualBlock, static_argnums=(3, 4)) if self.remat else ResidualBlock
         )
         for i in range(self.layers):
             is_moe = self.moe_experts > 0 and (i % self.moe_every == self.moe_every - 1)
@@ -458,5 +469,5 @@ class Transformer(nn.Module):
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
                 name=f"resblock_{i}",
-            )(x, mask, causal)
+            )(x, mask, causal, kv_len)
         return x

@@ -409,6 +409,41 @@ def _group_proj_enabled(s: int) -> bool:
     return s % 16 == 0 and not os.environ.get("MMTPU_BLOCK_ATTN_NO_LARGE_GROUP")
 
 
+def stream_pad_len(batch: int, seq: int, width: int, heads: int) -> int | None:
+    """The 16-aligned padded length a TOWER should hold its residual stream at, or None.
+
+    At S>128 this kernel needs a 16-aligned sequence for the whole-group [G*S, W]
+    projection collapse, and block_attention() pads/slices around every call when it
+    isn't. Measured on ViT-B/16 (S=197->208, B=256), those externalized per-layer pads
+    are ~10 ms/step of pure HBM byte-shuffling: `pad` + `slice` fwd and their transposes
+    bwd, x12 layers (docs/DESIGN.md, B/16 step audit). A tower that pads ONCE after its
+    stem, runs every block at the padded length with ``kv_len=<real S>``, and slices once
+    before pooling deletes all of it. Real-row numerics are identical: padded keys are
+    softmax-masked inside the kernel, padded query rows never feed real rows, and the
+    final slice gives padded rows zero cotangent, so every weight gradient is exact.
+
+    Returns None whenever per-call behavior would not pad anyway (short S, aligned S,
+    kernel-unsupported shape, non-TPU backend, or env-disabled). MMTPU_STREAM_PAD=0
+    disables; MMTPU_STREAM_PAD=force skips the backend check (CPU parity tests)."""
+    import os
+
+    env = os.environ.get("MMTPU_STREAM_PAD", "")
+    if env == "0":
+        return None
+    if env != "force" and (
+        jax.devices()[0].platform != "tpu" or os.environ.get("MMTPU_DISABLE_BLOCK_ATTN")
+    ):
+        return None
+    if seq <= 128 or seq % 16 == 0:
+        return None
+    s_pad = seq + (-seq) % 16
+    if not block_attn_supported(batch, s_pad, width, heads):
+        return None
+    if not _group_proj_enabled(s_pad):
+        return None
+    return s_pad
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len):
     b, s, w = x.shape
@@ -615,7 +650,7 @@ _block_attention_ln.defvjp(_block_attention_ln_fwd, _block_attention_ln_bwd)
 
 def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False,
                     ln_scale=None, ln_bias=None, ln_eps: float = 1e-5,
-                    residual: bool = False):
+                    residual: bool = False, kv_len: int | None = None):
     """Fused QKV-projection + multi-head attention + output projection.
 
     x: [B, S, W] (post-LN residual-branch input); weights [W, W], biases [W].
@@ -638,13 +673,20 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
     in-VMEM on the already-resident raw block (forward) and the passthrough cotangent
     folds into dx in-VMEM (backward), deleting the standalone [B,S,W] XLA adds. On
     fallback paths the add is a plain XLA op with identical numerics. Disable the
-    in-kernel form with MMTPU_BLOCK_ATTN_RESIDUAL=0 (A/B)."""
+    in-kernel form with MMTPU_BLOCK_ATTN_RESIDUAL=0 (A/B).
+
+    With ``kv_len`` the caller runs a STREAM-PADDED residual stream (see stream_pad_len):
+    x arrives already padded to a 16-aligned S, keys at index >= kv_len are softmax-masked
+    in-kernel, and no per-call pad/slice happens here. Padded rows flow through as
+    don't-care values."""
     import os
 
     if residual and ln_scale is None:
         raise ValueError("residual=True requires the fused pre-LN form (ln_scale)")
     x_raw = x
     s = x.shape[1]
+    if kv_len is not None and (s % 16 != 0 and s > 128):
+        raise ValueError(f"stream-padded call needs a 16-aligned sequence, got S={s}")
     # Default: fold only at S>128 — measured +1.8% on ViT-B/16 (S=197) where the
     # [B,S,W] LN round-trips are large, but -2.8% on ViT-B/32 (S=50) where the extra
     # in-kernel VMEM/ln_out emission costs more than the small LN traffic it saves.
@@ -682,10 +724,10 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
     elif ln_scale is not None:
         out = _block_attention_ln(
             x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
-            heads, causal, None, ln_eps, fused_residual)
+            heads, causal, kv_len, ln_eps, fused_residual)
     else:
         out = _block_attention(
-            x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, None
+            x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len
         )
     if residual and not fused_residual:
         out = x_raw + out

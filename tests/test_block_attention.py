@@ -290,3 +290,91 @@ def test_residual_requires_ln():
     x, ws = _make_inputs(jax.random.PRNGKey(25), b, s, w, jnp.float32)
     with pytest.raises(ValueError):
         block_attention(x, *ws, heads=heads, residual=True)
+
+
+def test_stream_padded_kv_len_matches_unpadded():
+    """Stream-padded call (x pre-padded to the 16-aligned S, kv_len=real S): real rows
+    and every gradient must match the unpadded reference; pad rows of dx must be exactly
+    zero (the caller's post-trunk slice gives them zero cotangent)."""
+    b, s, w, heads = 2, 197, 768, 12
+    s_pad = 208
+    x, ws = _make_inputs(jax.random.PRNGKey(30), b, s, w, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    def loss_pad(x, *ws):
+        y = block_attention(x, *ws, heads=heads, causal=False, kv_len=s)[:, :s]
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_ref(x, *ws):
+        y = _ref_block_attention(x, *ws, heads=heads, causal=False)
+        return jnp.sum(jnp.sin(y)), y
+
+    (_, yk), gk = jax.value_and_grad(loss_pad, argnums=tuple(range(9)), has_aux=True)(
+        xp, *ws)
+    (_, yr), gr = jax.value_and_grad(loss_ref, argnums=tuple(range(9)), has_aux=True)(
+        x, *ws)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=5e-5, rtol=5e-5)
+    names = ["dx", "dwq", "dbq", "dwk", "dbk", "dwv", "dbv", "dwo", "dbo"]
+    for name, a, r in zip(names, gk, gr):
+        a = np.asarray(a)
+        if name == "dx":
+            np.testing.assert_array_equal(a[:, s:], 0.0, err_msg="pad rows of dx")
+            a = a[:, :s]
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(a, np.asarray(r), atol=5e-4 * scale, rtol=1e-3,
+                                   err_msg=name)
+
+
+def test_stream_padded_ln_residual_matches(monkeypatch):
+    """The production B/16 form: stream-padded + fused pre-LN + in-kernel residual."""
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_LN", "1")
+    b, s, w, heads = 2, 197, 768, 12
+    s_pad = 208
+    x, ws = _make_inputs(jax.random.PRNGKey(31), b, s, w, jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(32), (w,), jnp.float32)
+    beta = 0.1 * jax.random.normal(jax.random.PRNGKey(33), (w,), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    def loss_pad(x, gamma, beta, *ws):
+        y = block_attention(x, *ws, heads=heads, causal=False, ln_scale=gamma,
+                            ln_bias=beta, residual=True, kv_len=s)[:, :s]
+        return jnp.sum(jnp.sin(y)), y
+
+    def loss_ref(x, gamma, beta, *ws):
+        y = x + _ref_block_attention(
+            _ref_ln(x, gamma, beta), *ws, heads=heads, causal=False)
+        return jnp.sum(jnp.sin(y)), y
+
+    (_, yk), gk = jax.value_and_grad(loss_pad, argnums=(0, 1, 2), has_aux=True)(
+        xp, gamma, beta, *ws)
+    (_, yr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(
+        x, gamma, beta, *ws)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=5e-5, rtol=5e-5)
+    for name, a, r in zip(["dx", "dgamma", "dbeta"], gk, gr):
+        a = np.asarray(a)
+        if name == "dx":
+            np.testing.assert_array_equal(a[:, s:], 0.0, err_msg="pad rows of dx")
+            a = a[:, :s]
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(a, np.asarray(r), atol=5e-4 * scale, rtol=2e-3,
+                                   err_msg=name)
+
+
+def test_stream_padded_rejects_unaligned():
+    b, s, w, heads = 2, 197, 768, 12
+    x, ws = _make_inputs(jax.random.PRNGKey(34), b, s, w, jnp.float32)
+    with pytest.raises(ValueError):
+        block_attention(x, *ws, heads=heads, kv_len=190)
+
+
+def test_stream_pad_len_predicate(monkeypatch):
+    from multimodal_tpu.ops.block_attention import stream_pad_len
+
+    monkeypatch.setenv("MMTPU_STREAM_PAD", "force")  # skip the TPU-backend check
+    assert stream_pad_len(256, 197, 768, 12) == 208   # ViT-B/16
+    assert stream_pad_len(256, 257, 1024, 16) == 272  # ViT-L/14
+    assert stream_pad_len(256, 50, 768, 12) is None   # short S: no per-call pad either
+    assert stream_pad_len(256, 208, 768, 12) is None  # already aligned
+    assert stream_pad_len(256, 197, 768, 16) is None  # head_dim 48: kernel-unsupported
+    monkeypatch.setenv("MMTPU_STREAM_PAD", "0")
+    assert stream_pad_len(256, 197, 768, 12) is None
