@@ -70,7 +70,12 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     args = parser.parse_args()
 
-    batch = args.batch_size or (64 if args.quick else 256)
+    # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
+    # B/16 peaks at 272 (+4% over 256; 320+ regresses under bwd-activation HBM pressure)
+    best_batch = {"ViT-B-16": 272, "ViT-L-14": 64}
+    batch = args.batch_size or (
+        64 if args.quick else best_batch.get(args.model, 256)
+    )
     steps = args.steps or (3 if args.quick else 8)
     warmup = 1 if args.quick else 3
 
