@@ -71,8 +71,9 @@ def main():
     args = parser.parse_args()
 
     # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
-    # B/16 peaks at 272 (+4% over 256; 320+ regresses under bwd-activation HBM pressure)
-    best_batch = {"ViT-B-16": 272, "ViT-L-14": 64}
+    # B/16 peaks at 272 (+4% over 256; 320+ regresses under bwd-activation HBM pressure);
+    # L/14 peaks at 96 (sweep 48..128: 237/240/243/243/241/224 — 128 hits the same cliff)
+    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96}
     batch = args.batch_size or (
         64 if args.quick else best_batch.get(args.model, 256)
     )
