@@ -485,4 +485,19 @@ def make_train_step(
         jit_kwargs["out_shardings"] = (replicated, replicated)
     if donate:
         jit_kwargs["donate_argnums"] = (0,)
+    # XLA:TPU compiler flags can't ride XLA_FLAGS here (compilation happens behind the
+    # remote-chip relay, and the host-side parser rejects TPU-only flags); per-jit
+    # compiler_options travel through PJRT to whichever backend compiles. Knob for flag
+    # A/Bs, e.g. MMTPU_COMPILER_OPTIONS=xla_tpu_scoped_vmem_limit_kib=65536 (set to the
+    # empty string to get the compiler defaults). Measured table: docs/DESIGN.md.
+    import os as _os
+
+    opts = _os.environ.get("MMTPU_COMPILER_OPTIONS")
+    if opts is None and jax.devices()[0].platform == "tpu":
+        # measured +0.6% (ViT-B/32) / +1.3% (ViT-B/16) same-day, losses bit-identical
+        opts = "xla_tpu_enable_latency_hiding_scheduler=true"
+    if opts:
+        jit_kwargs["compiler_options"] = dict(
+            kv.split("=", 1) for kv in opts.split(",") if kv
+        )
     return jax.jit(step_fn, **jit_kwargs)
