@@ -121,6 +121,74 @@ def xplane_op_summary(trace_dir: str, plane_filter: str = "TPU") -> dict:
     return out
 
 
+def xplane_line_summary(trace_dir: str, plane_filter: str = "TPU") -> dict:
+    """Per-LINE aggregation of the newest xplane dump — unlike ``xplane_op_summary``,
+    which folds every line of a plane together, this keeps the TensorCore op line
+    ('XLA Ops') separate from the async-DMA line ('Async XLA Ops'), whose
+    copy-start/slice-start spans overlap compute and must not be summed as busy time.
+
+    Returns {plane: {line: {'events', 'sum_ms', 'occupancy_ms', 'ops': [(name, ms)...]}}}
+    where occupancy_ms is the union of event intervals (true busy time)."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no *.xplane.pb under {trace_dir}")
+    data = memoryview(open(paths[-1], "rb").read())
+
+    out: dict = {}
+    for field, _, plane_buf in _fields(data):
+        if field != 1:
+            continue
+        pname, metadata, line_bufs = "", {}, []
+        for f, _, v in _fields(plane_buf):
+            if f == 2:
+                pname = bytes(v).decode("utf-8", "replace")
+            elif f == 3:
+                line_bufs.append(v)
+            elif f == 4:
+                mid, mname = _parse_event_metadata(v)
+                metadata[mid] = mname
+        if plane_filter and plane_filter.lower() not in pname.lower():
+            continue
+        lines: dict = {}
+        for line_buf in line_bufs:
+            lname, events = "", []
+            for f, _, v in _fields(line_buf):
+                if f == 2:
+                    lname = bytes(v).decode("utf-8", "replace")
+                elif f == 4:
+                    meta_id = dur = off = 0
+                    for f2, w2, v2 in _fields(v):
+                        if f2 == 1 and w2 == 0:
+                            meta_id = v2
+                        elif f2 == 2 and w2 == 0:
+                            off = v2
+                        elif f2 == 3 and w2 == 0:
+                            dur = v2
+                    events.append((off, dur, meta_id))
+            if not events:
+                continue
+            ops: collections.Counter = collections.Counter()
+            for _, d, m in events:
+                ops[metadata.get(m, str(m))] += d / 1e9
+            ivs = sorted((o, o + d) for o, d, _ in events)
+            occ, (cs, ce) = 0, ivs[0]
+            for s, e in ivs[1:]:
+                if s > ce:
+                    occ += ce - cs
+                    cs, ce = s, e
+                else:
+                    ce = max(ce, e)
+            occ += ce - cs
+            lines[lname] = {
+                "events": len(events),
+                "sum_ms": sum(ops.values()),
+                "occupancy_ms": occ / 1e9,
+                "ops": ops.most_common(),
+            }
+        out[pname] = lines
+    return out
+
+
 # ---------------------------------------------------------------------------
 # capture helper
 # ---------------------------------------------------------------------------
