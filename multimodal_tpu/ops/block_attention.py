@@ -57,7 +57,16 @@ def _images_per_program(batch: int, seq: int, fwd: bool) -> int:
     # per-image q/k/v/probs temporaries): 1024 tokens fwd (G=8 at the S=128 design point),
     # half that bwd, which carries 5 output blocks; at S>128 the backward runs one image
     # per program (stacked [H*S,S] buffers dominate; G=2 measured no gain at S=208).
-    max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
+    # MMTPU_BLOCK_ATTN_{FWD,BWD}_TOKENS override the budget for measured A/Bs.
+    import os
+
+    env = os.environ.get(
+        "MMTPU_BLOCK_ATTN_FWD_TOKENS" if fwd else "MMTPU_BLOCK_ATTN_BWD_TOKENS"
+    )
+    if env:
+        max_tokens = int(env)
+    else:
+        max_tokens = 1024 if fwd else (512 if seq <= 128 else 256)
     # larger groups under the raised VMEM limit regress (g=16/8 at S=50 measured 2185
     # vs 2385 samples/s: fewer grid programs = coarser DMA/compute pipelining)
     for g in (8, 4, 2, 1) if fwd else (4, 2, 1):
