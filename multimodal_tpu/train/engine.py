@@ -496,6 +496,16 @@ def make_train_step(
     if opts is None and jax.devices()[0].platform == "tpu":
         # measured +0.6% (ViT-B/32) / +1.3% (ViT-B/16) same-day, losses bit-identical
         opts = "xla_tpu_enable_latency_hiding_scheduler=true"
+        # 32 MiB scoped VMEM is a measured win exactly where the large-S block-attention
+        # kernels run (vision S > 128: B/16 894.6 -> 900.9, L/14 242.8 -> 245.8, two
+        # same-day pairs each) and a measured LOSS at short S (B/32 -2.2%): the bigger
+        # XLA fusions around the S>128 kernels want the headroom, the S=50 fusion set
+        # double-buffers better without it. 48 MiB gives the gain back (B/16 896.7).
+        vision = getattr(getattr(model, "cfg", None), "vision", None)
+        if vision is not None:
+            seq = (vision.image_size // vision.patch_size) ** 2 + 1
+            if seq > 128:
+                opts += ",xla_tpu_scoped_vmem_limit_kib=32768"
     if opts:
         jit_kwargs["compiler_options"] = dict(
             kv.split("=", 1) for kv in opts.split(",") if kv
