@@ -27,6 +27,26 @@ def test_registry_lists_models():
         assert name in models
 
 
+def test_scaleup_configs_parse():
+    """ViT-H-14 / ViT-g-14 (beyond reference: OpenCLIP's published scale-up
+    hyperparameters). Their head_dims (80/88) fall outside the block-kernel support
+    set, so they must dispatch to the fallback attention paths; g-14's fractional
+    mlp_ratio must floor to exactly the published 6144 hidden width."""
+    h = get_model_config("ViT-H-14")
+    assert (h.vision.width, h.vision.layers, h.vision.patch_size) == (1280, 32, 14)
+    assert h.vision.width // h.vision.heads == 80
+    assert h.text.width == 1024 and h.text.layers == 24
+    assert h.act == "gelu"
+    g = get_model_config("ViT-g-14")
+    assert (g.vision.width, g.vision.layers) == (1408, 40)
+    assert int(g.vision.width * g.vision.mlp_ratio) == 6144
+    from multimodal_tpu.ops.block_attention import block_attn_supported
+
+    for cfg in (h, g):
+        seq = (cfg.vision.image_size // cfg.vision.patch_size) ** 2 + 1
+        assert not block_attn_supported(8, seq, cfg.vision.width, cfg.vision.heads)
+
+
 @pytest.mark.parametrize("name", ["tiny-test", "tiny-test-shared"])
 def test_forward_shapes(name):
     model = create_model(name)
