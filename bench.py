@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--model", default="ViT-B-32")
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block rematerialization (A/B for HBM-bound configs)")
     args = parser.parse_args()
 
     # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
@@ -122,7 +124,7 @@ def main():
     print(f"[bench] platform={dev.platform} kind={dev.device_kind} "
           f"n_devices={len(jax.devices())} batch={batch} steps={steps}", file=sys.stderr)
 
-    model = create_model(args.model, dtype=jnp.bfloat16)
+    model = create_model(args.model, dtype=jnp.bfloat16, remat=args.remat or None)
     params = init_params(model)
     tx = make_optimizer(
         make_schedule("cosine", 1e-3, warmup_steps=100, total_steps=10000),

@@ -45,11 +45,17 @@ def _interpret() -> bool:
 
 def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
     head_dim = width // heads
-    return (
-        head_dim in (32, 64, 128)
-        and width % 128 == 0
-        and seq <= MAX_BLOCK_SEQ
+    # Lane-aligned head_dims (sublane-free per-head slices) are always on; other
+    # 8-multiples (ViT-H/14's 80, ViT-g/14's 88 — Mosaic lowers the misaligned lane
+    # slices with shuffles) are opt-in for measurement until proven on-chip.
+    import os
+
+    dim_ok = head_dim in (32, 64, 128) or (
+        head_dim % 8 == 0
+        and head_dim < 128
+        and bool(os.environ.get("MMTPU_BLOCK_ATTN_ANY_HEAD"))
     )
+    return dim_ok and width % 128 == 0 and seq <= MAX_BLOCK_SEQ
 
 
 def _images_per_program(batch: int, seq: int, fwd: bool) -> int:

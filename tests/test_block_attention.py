@@ -90,6 +90,39 @@ def test_supported_predicate():
     assert not block_attn_supported(256, 50, 768, 16)   # head_dim 48
 
 
+def test_any_head_dim_gate(monkeypatch):
+    # head_dim 48/80/88 (ViT-H/14, ViT-g/14) are off by default, opt-in via env
+    assert not block_attn_supported(8, 50, 640, 8)       # head_dim 80
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_ANY_HEAD", "1")
+    assert block_attn_supported(8, 50, 640, 8)
+    assert block_attn_supported(8, 257, 1280, 16)        # ViT-H/14 vision tower
+    assert block_attn_supported(8, 257, 1408, 16)        # ViT-g/14 vision tower
+    assert block_attn_supported(8, 50, 512, 4)           # head_dim 128: always on
+    monkeypatch.delenv("MMTPU_BLOCK_ATTN_ANY_HEAD")
+    assert not block_attn_supported(8, 257, 1280, 16)    # gate off again
+
+
+@pytest.mark.parametrize("heads", [8, 16])  # head_dim 80 and 40
+def test_any_head_dim_parity(monkeypatch, heads):
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_ANY_HEAD", "1")
+    b, s, w = 2, 24, 640
+    x, ws = _make_inputs(jax.random.PRNGKey(7), b, s, w, jnp.float32)
+    got = block_attention(x, *ws, heads=heads, causal=False)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False)
+    # W=640 accumulations put independent f32 evaluation orders ~1e-3 apart (both are
+    # ~1e-2 from the f64 truth at W=1280 — measured); the bound is rounding, not logic
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+    def loss_k(x):
+        return jnp.sum(jnp.sin(block_attention(x, *ws, heads=heads, causal=False)))
+
+    def loss_r(x):
+        return jnp.sum(jnp.sin(_ref_block_attention(x, *ws, heads=heads, causal=False)))
+
+    gk, gr = jax.grad(loss_k)(x), jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=2e-3, rtol=2e-3)
+
+
 def test_odd_batch_falls_back_to_group_of_one():
     b, s, w, heads = 5, 50, 256, 4
     x, ws = _make_inputs(jax.random.PRNGKey(3), b, s, w, jnp.float32)
