@@ -40,10 +40,11 @@ PEAK_FLOPS = {
 }
 
 
-def _tower_flops(seq: int, width: int, layers: int) -> float:
+def _tower_flops(seq: int, width: int, layers: int, mlp_ratio: float = 4.0) -> float:
     """Forward FLOPs for one transformer tower pass over ``seq`` tokens (MACs x 2):
-    per token/layer qkv 6W^2 + scores 2SW + attn@V 2SW + out-proj 2W^2 + MLP(x4) 16W^2."""
-    per_token_layer = 24.0 * width * width + 4.0 * seq * width
+    per token/layer qkv 6W^2 + scores 2SW + attn@V 2SW + out-proj 2W^2 + MLP 4rW^2
+    (r = mlp_ratio; 16W^2 at the standard 4x, 17.45W^2 for ViT-g/14's 4.3637)."""
+    per_token_layer = (8.0 + 4.0 * mlp_ratio) * width * width + 4.0 * seq * width
     return layers * seq * per_token_layer
 
 
@@ -53,10 +54,10 @@ def train_flops_per_sample(cfg) -> float:
     final projections; ignores softmax/layernorm/loss (sub-1%)."""
     v, t = cfg.vision, cfg.text
     seq_v = (v.image_size // v.patch_size) ** 2 + 1
-    fwd = _tower_flops(seq_v, v.width, v.layers)
+    fwd = _tower_flops(seq_v, v.width, v.layers, getattr(v, "mlp_ratio", 4.0))
     fwd += seq_v * (v.patch_size * v.patch_size * 3) * v.width * 2  # patch embed
     fwd += v.width * cfg.embed_dim * 2  # image projection
-    fwd += _tower_flops(t.context_length, t.width, t.layers)
+    fwd += _tower_flops(t.context_length, t.width, t.layers, getattr(t, "mlp_ratio", 4.0))
     fwd += t.context_length * t.width * 2  # token embed gather ~ negligible, kept for form
     fwd += t.width * cfg.embed_dim * 2  # text projection
     return 3.0 * fwd
