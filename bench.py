@@ -42,9 +42,10 @@ PEAK_FLOPS = {
 
 def _tower_flops(seq: int, width: int, layers: int, mlp_ratio: float = 4.0) -> float:
     """Forward FLOPs for one transformer tower pass over ``seq`` tokens (MACs x 2):
-    per token/layer qkv 6W^2 + scores 2SW + attn@V 2SW + out-proj 2W^2 + MLP 4rW^2
-    (r = mlp_ratio; 16W^2 at the standard 4x, 17.45W^2 for ViT-g/14's 4.3637)."""
-    per_token_layer = (8.0 + 4.0 * mlp_ratio) * width * width + 4.0 * seq * width
+    per token/layer qkv 6W^2 + scores 2SW + attn@V 2SW + out-proj 2W^2 + MLP 4*hidden*W
+    (hidden = int(W * mlp_ratio), matching the model's floor — layers.py:160)."""
+    hidden = int(width * mlp_ratio)
+    per_token_layer = 8.0 * width * width + 4.0 * hidden * width + 4.0 * seq * width
     return layers * seq * per_token_layer
 
 
