@@ -42,6 +42,7 @@ class FileListDataset:
         num_hosts: int = 1,
         host_id: int = 0,
         semantic_encoder=None,
+        aug_cfg=None,
     ):
         self.items = list(items)[host_id::num_hosts]
         self.batch_size = batch_size
@@ -51,6 +52,9 @@ class FileListDataset:
         self.seed = seed
         self.drop_last = drop_last
         self.semantic_encoder = semantic_encoder
+        from multimodal_tpu.data.augment import parse_aug_cfg
+
+        self.aug = parse_aug_cfg(aug_cfg) if train else None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -81,7 +85,9 @@ class FileListDataset:
                         buffers.append(f.read())
                 except OSError:
                     buffers.append(b"")
-            arr, ok = decode_images(list(buffers), self.image_size, self.train, rng=rng)
+            arr, ok = decode_images(
+                list(buffers), self.image_size, self.train, rng=rng, aug=self.aug
+            )
             texts = list(texts)
             good_idx = np.flatnonzero(ok)
             if len(good_idx) == 0:

@@ -137,8 +137,17 @@ def decode_image(data: bytes):
     return Image.open(io.BytesIO(data))
 
 
-def preprocess_bytes(data: bytes, train: bool = False, rng=None, image_size: int = IMAGE_SIZE):
+def preprocess_bytes(
+    data: bytes,
+    train: bool = False,
+    rng=None,
+    image_size: int = IMAGE_SIZE,
+    scale=(0.9, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+):
     img = decode_image(data)
     if train:
-        return train_transform(img, rng or np.random.default_rng(), image_size)
+        return train_transform(
+            img, rng or np.random.default_rng(), image_size, scale=scale, ratio=ratio
+        )
     return eval_transform(img, image_size)

@@ -77,9 +77,14 @@ def _first(sample: dict, exts: Iterable[str]) -> Optional[bytes]:
     return None
 
 
-def _pil_fallback(data: bytes, image_size: int, train: bool, rng) -> Optional[np.ndarray]:
+def _pil_fallback(
+    data: bytes, image_size: int, train: bool, rng, aug=None
+) -> Optional[np.ndarray]:
     try:
-        arr = preprocess.preprocess_bytes(data, train=train, rng=rng, image_size=image_size)
+        crop_kw = {"scale": aug.scale, "ratio": aug.ratio} if aug is not None else {}
+        arr = preprocess.preprocess_bytes(
+            data, train=train, rng=rng, image_size=image_size, **crop_kw
+        )
         # preprocess returns normalized float; reconstruct uint8 wire format
         mean = np.asarray(preprocess.OPENAI_DATASET_MEAN, np.float32)
         std = np.asarray(preprocess.OPENAI_DATASET_STD, np.float32)
@@ -94,15 +99,19 @@ def decode_images(
     train: bool,
     seeds: Optional[np.ndarray] = None,
     rng: Optional[np.random.Generator] = None,
+    aug=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch decode -> (uint8 [N,S,S,3], ok [N] bool). JPEGs go through the native batched
-    path; everything else (and native failures) through PIL; failures come back ok=False."""
+    path; everything else (and native failures) through PIL; failures come back ok=False.
+    ``aug`` (data.augment.AugmentationCfg) parameterizes the train crop and adds the
+    pixel-space augmentations (color jitter / grayscale / erasing) after decode."""
     n = len(buffers)
     out = np.zeros((n, image_size, image_size, 3), np.uint8)
     ok = np.zeros(n, bool)
     rng = rng or np.random.default_rng(0)
     if seeds is None:
         seeds = rng.integers(0, 2**63, n, dtype=np.uint64)
+    crop_kw = {"scale": aug.scale, "ratio": aug.ratio} if aug is not None else {}
     if native.available():
         is_j = [native.is_jpeg(b) for b in buffers]
         jpeg_idx = [i for i in range(n) if is_j[i]]
@@ -112,6 +121,7 @@ def decode_images(
                 image_size,
                 train=train,
                 seeds=seeds[jpeg_idx],
+                **crop_kw,
             )
             for pos, i in enumerate(jpeg_idx):
                 if good[pos]:
@@ -121,10 +131,14 @@ def decode_images(
     else:
         rest = list(range(n))
     for i in rest:
-        arr = _pil_fallback(buffers[i], image_size, train, rng)
+        arr = _pil_fallback(buffers[i], image_size, train, rng, aug=aug)
         if arr is not None:
             out[i] = arr
             ok[i] = True
+    if train and aug is not None and aug.has_pixel_aug:
+        from multimodal_tpu.data.augment import apply_pixel_augment
+
+        out = apply_pixel_augment(out, rng, aug)
     return out, ok
 
 
@@ -153,6 +167,7 @@ class WdsReader:
         worker_id: int = 0,
         caption_key: Optional[str] = None,
         semantic_encoder=None,
+        aug_cfg=None,
     ):
         shards, w = expand_shards(urls, weights)
         self.sampler = ShardSampler(
@@ -175,6 +190,9 @@ class WdsReader:
         # optional host-side caption embedder adding batch['semantic'] (AlignCLIP NL
         # semantic supervision side-input, run.py:375-376 / train.py:92-96)
         self.semantic_encoder = semantic_encoder
+        from multimodal_tpu.data.augment import parse_aug_cfg
+
+        self.aug = parse_aug_cfg(aug_cfg) if train else None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -225,7 +243,7 @@ class WdsReader:
                     yield batch
 
     def _collate(self, images: list[bytes], texts: list[str], rng) -> Optional[dict]:
-        arr, ok = decode_images(images, self.image_size, self.train, rng=rng)
+        arr, ok = decode_images(images, self.image_size, self.train, rng=rng, aug=self.aug)
         if not ok.any():
             return None
         # static batch shape for XLA: backfill failed decodes with good samples instead of

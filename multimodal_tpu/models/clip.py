@@ -253,6 +253,8 @@ class CLIP(nn.Module):
                 ls_init_value=c.vision.ls_init_value,
                 scaled_cosine=c.vision.scaled_cosine,
                 scale_heads=c.vision.scale_heads,
+                lora_rank=c.lora_rank,
+                lora_alpha=c.lora_alpha,
                 name="transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -278,6 +280,8 @@ class CLIP(nn.Module):
                 moe_every=c.vision.moe_every,
                 moe_top_k=c.vision.moe_top_k,
                 moe_capacity_factor=c.vision.moe_capacity_factor,
+                lora_rank=c.lora_rank,
+                lora_alpha=c.lora_alpha,
                 name="visual_transformer",
             )
             self.text_trunk = Transformer(
@@ -290,6 +294,8 @@ class CLIP(nn.Module):
                 remat=c.remat,
             act=_resolve_act(c.act),
                 ls_init_value=c.text.ls_init_value,
+                lora_rank=c.lora_rank,
+                lora_alpha=c.lora_alpha,
                 name="text_transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -400,6 +406,8 @@ class VariationalCLIP(nn.Module):
             dtype=self.dtype,
             remat=c.remat,
             act=_resolve_act(c.act),
+            lora_rank=c.lora_rank,
+            lora_alpha=c.lora_alpha,
             name="visual_transformer",
         )
         # text trunk is causal over context_length + 1 (mask rebuilt for the extra token,
@@ -413,6 +421,8 @@ class VariationalCLIP(nn.Module):
             dtype=self.dtype,
             remat=c.remat,
             act=_resolve_act(c.act),
+            lora_rank=c.lora_rank,
+            lora_alpha=c.lora_alpha,
             name="text_transformer",
         )
         self.ln_post = LayerNorm(name="ln_post")

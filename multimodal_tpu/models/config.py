@@ -63,6 +63,12 @@ class CLIPConfig:
     # is bias=-10 with logit_scale=ln(10) (losses/siglip_loss.py)
     logit_bias_init: float | None = None
     logit_scale_init: float | None = None  # None = CLIP's ln(1/0.07)
+    # PEFT-style low-rank adapters on every attention/MLP projection in both trunks
+    # (finetune.ipynb:cell 12's optional LoRA wrap): rank 0 = off. Adapter deltas start
+    # at zero (B=0 init) so a pretrained checkpoint's behavior is unchanged at step 0;
+    # train only the adapters via train.run --lora-rank (optax.masked on 'lora_' leaves).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     def __post_init__(self):
         if self.share_trunk:
@@ -126,6 +132,8 @@ def clip_config_from_dict(d: dict) -> CLIPConfig:
         # "act": "gelu"|"quick_gelu", or OpenCLIP-style "quick_gelu": false; the default
         # stays QuickGELU (every reference model is OpenAI-style, factory.py:137-140)
         act=d.get("act", "quick_gelu" if d.get("quick_gelu", True) else "gelu"),
+        lora_rank=d.get("lora_rank", 0),
+        lora_alpha=d.get("lora_alpha", 16.0),
     )
 
 

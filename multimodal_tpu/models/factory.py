@@ -28,12 +28,18 @@ def create_model(
     patch_dropout: Optional[float] = None,
     force_quick_gelu: bool = False,
     siglip: bool = False,
+    lora_rank: Optional[int] = None,
+    lora_alpha: Optional[float] = None,
 ):
     import dataclasses
 
     cfg = get_model_config(name)
     if remat is not None:
         cfg = dataclasses.replace(cfg, remat=remat)
+    if lora_rank:  # PEFT LoRA adapters on every trunk projection (finetune.ipynb:cell 12)
+        cfg = dataclasses.replace(
+            cfg, lora_rank=lora_rank, lora_alpha=lora_alpha or cfg.lora_alpha
+        )
     if siglip:  # SigLIP head: learnable pairwise-sigmoid bias, published inits
         cfg = dataclasses.replace(
             cfg, logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0))

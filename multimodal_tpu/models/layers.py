@@ -146,6 +146,8 @@ class MLP(nn.Module):
     act: Callable = quick_gelu
     dtype: Dtype = jnp.float32
     depth: int = 12  # total transformer depth, for the residual-branch init scaling
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, ln_params=None, residual: bool = False):
@@ -159,10 +161,12 @@ class MLP(nn.Module):
         x_in = x
         hidden = int(self.width * self.expansion)
         # CLIP init scheme (align_clip/model.py:199-208)
+        lora = {"lora_rank": self.lora_rank, "lora_alpha": self.lora_alpha}
         w1, b1 = _DenseParams(
-            hidden, (2 * self.width) ** -0.5, name="c_fc")(self.width)
+            hidden, (2 * self.width) ** -0.5, name="c_fc", **lora)(self.width)
         w2, b2 = _DenseParams(
             self.width, (self.width ** -0.5) * ((2 * self.depth) ** -0.5), name="c_proj",
+            **lora,
         )(hidden)
 
         act_name = (
@@ -204,10 +208,17 @@ class MLP(nn.Module):
 
 class _DenseParams(nn.Module):
     """Raw kernel/bias parameters with nn.Dense's tree layout (<name>/kernel, <name>/bias) —
-    lets one weight set drive either the composite XLA path or a fused Pallas kernel."""
+    lets one weight set drive either the composite XLA path or a fused Pallas kernel.
+
+    ``lora_rank > 0`` adds a PEFT-style low-rank adapter (finetune.ipynb:cell 12): the
+    returned kernel is W + (alpha/r) * A @ B with A ~ N(0, 1/r), B = 0 — the merge costs
+    in*r*out MACs once per step (negligible) and keeps every downstream consumer (XLA
+    matmuls AND the fused Pallas block kernels) on its unchanged fast path."""
 
     features: int
     stddev: float
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, in_dim: int):
@@ -216,6 +227,16 @@ class _DenseParams(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.lora_rank > 0:
+            r = self.lora_rank
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(stddev=r ** -0.5), (in_dim, r),
+                jnp.float32,
+            )
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros, (r, self.features), jnp.float32
+            )
+            kernel = kernel + (self.lora_alpha / r) * (lora_a @ lora_b)
         return kernel, bias
 
 
@@ -236,6 +257,8 @@ class MultiHeadAttention(nn.Module):
     scaled_cosine: bool = False
     scale_heads: bool = False
     logit_scale_max: float = 4.6052  # log(1/0.01), transformer.py:98
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, mask=None, ln_params=None, causal: bool = False,
@@ -259,10 +282,11 @@ class MultiHeadAttention(nn.Module):
         # for every block (measured ~22% slower text-tower fwd on v5e)
         attn_std = self.width ** -0.5
         out_std = (self.width ** -0.5) * ((2 * self.depth) ** -0.5)
-        wq, bq = _DenseParams(self.width, attn_std, name="query")(self.width)
-        wk, bk = _DenseParams(self.width, attn_std, name="key")(self.width)
-        wv, bv = _DenseParams(self.width, attn_std, name="value")(self.width)
-        wo, bo = _DenseParams(self.width, out_std, name="out")(self.width)
+        lora = {"lora_rank": self.lora_rank, "lora_alpha": self.lora_alpha}
+        wq, bq = _DenseParams(self.width, attn_std, name="query", **lora)(self.width)
+        wk, bk = _DenseParams(self.width, attn_std, name="key", **lora)(self.width)
+        wv, bv = _DenseParams(self.width, attn_std, name="value", **lora)(self.width)
+        wo, bo = _DenseParams(self.width, out_std, name="out", **lora)(self.width)
 
         use_block_kernel = (
             not self.scaled_cosine
@@ -358,6 +382,8 @@ class ResidualBlock(nn.Module):
     moe_experts: int = 0  # >0: MoE MLP with this many experts (models/moe.py)
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
@@ -379,6 +405,8 @@ class ResidualBlock(nn.Module):
             depth=self.depth,
             scaled_cosine=self.scaled_cosine,
             scale_heads=self.scale_heads,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             name="attn",
         )(
             x,
@@ -410,6 +438,8 @@ class ResidualBlock(nn.Module):
                 act=self.act,
                 dtype=self.dtype,
                 depth=self.depth,
+                lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 name="mlp",
             )
             if self.ls_init_value is None:
@@ -444,6 +474,8 @@ class Transformer(nn.Module):
     moe_every: int = 2
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
@@ -468,6 +500,8 @@ class Transformer(nn.Module):
                 moe_experts=self.moe_experts if is_moe else 0,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
+                lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 name=f"resblock_{i}",
             )(x, mask, causal, kv_len)
         return x

@@ -1,0 +1,78 @@
+"""LoRA adapter utilities: extract, load, and merge low-rank adapters.
+
+Counterpart of the reference's optional PEFT-LoRA finetune (finetune.ipynb:cell 12:
+``get_peft_model`` + ``merge_and_unload``). The adapters themselves live inside the
+parameter tree as ``<proj>/lora_a``, ``<proj>/lora_b`` (models/layers.py:_DenseParams),
+so a LoRA finetune is just the normal train loop with an optax mask; these helpers cover
+the checkpoint side: save adapters alone (tiny files), re-attach them to a base model,
+and fold them into the kernels for lora-free deployment (the merge_and_unload analog).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+try:  # flax is a hard dep of the models package; guard only for doc tooling
+    import flax.traverse_util as traverse_util
+except ImportError:  # pragma: no cover
+    traverse_util = None
+
+
+def is_lora_leaf(path: str) -> bool:
+    return path.endswith("lora_a") or path.endswith("lora_b")
+
+
+def lora_mask(params) -> Any:
+    """Boolean pytree: True on adapter leaves (+ nothing else). The optimizer-side mask
+    used by train.run --lora-rank additionally trains logit_scale (run.py:_finetune_mask)."""
+
+    def keep(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        return is_lora_leaf(name)
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def extract_lora(params) -> Dict[str, np.ndarray]:
+    """Pull only the adapter leaves out of a param tree -> flat {path: array} dict
+    (the small thing worth checkpointing during a LoRA finetune)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    return {k: np.asarray(v) for k, v in flat.items() if is_lora_leaf(k)}
+
+def load_lora(params, adapters: Dict[str, np.ndarray]):
+    """Re-attach extracted adapters to a param tree (shapes must match the model's
+    lora_rank). Unknown paths raise — a wrong-rank or wrong-model adapter set should
+    never load silently."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    for k, v in adapters.items():
+        if k not in flat:
+            raise KeyError(f"adapter leaf {k!r} not present in the model (wrong rank/model?)")
+        if tuple(flat[k].shape) != tuple(v.shape):
+            raise ValueError(f"adapter {k!r} shape {v.shape} != model {flat[k].shape}")
+        flat[k] = jax.numpy.asarray(v)
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def merge_lora(params, alpha: float = 16.0):
+    """Fold every adapter pair into its kernel and DROP the lora leaves:
+    kernel += (alpha / r) * lora_a @ lora_b  (r = lora_a.shape[1]).
+
+    The result is loadable by the same architecture with lora_rank=0 — the
+    ``merge_and_unload`` deployment path. ``alpha`` must match the finetune's
+    --lora-alpha (the model applies the same scale at apply time)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for k, v in flat.items():
+        if is_lora_leaf(k):
+            continue
+        if k.endswith("kernel"):
+            base = k[: -len("kernel")]
+            a, b = flat.get(base + "lora_a"), flat.get(base + "lora_b")
+            if a is not None and b is not None:
+                r = a.shape[1]
+                v = v + (alpha / r) * (a @ b)
+        out[k] = v
+    return traverse_util.unflatten_dict(out, sep="/")

@@ -53,6 +53,14 @@ def _load():
             ctypes.c_void_p,  # ok flags
             ctypes.c_int,  # threads
         ]
+        if hasattr(lib, "mm_decode_batch_aug"):
+            lib.mm_decode_batch_aug.restype = ctypes.c_int
+            lib.mm_decode_batch_aug.argtypes = lib.mm_decode_batch.argtypes + [
+                ctypes.c_double,  # scale_lo
+                ctypes.c_double,  # scale_hi
+                ctypes.c_double,  # ratio_lo
+                ctypes.c_double,  # ratio_hi
+            ]
         lib.mm_is_jpeg.restype = ctypes.c_int
         lib.mm_is_jpeg.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.mm_tar_index.restype = ctypes.c_void_p
@@ -73,12 +81,15 @@ def decode_batch(
     train: bool = False,
     seeds: np.ndarray | None = None,
     num_threads: int | None = None,
+    scale: tuple[float, float] = (0.9, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of JPEG byte strings -> (images [N,S,S,3] uint8, ok [N] bool).
 
     Failed decodes come back as black frames with ok=False (the reference's per-sample
     failure absorption, main/data.py:276-279). Non-JPEG inputs fail here; route them
-    through the PIL fallback using ``is_jpeg`` first.
+    through the PIL fallback using ``is_jpeg`` first. ``scale``/``ratio`` set the train
+    RandomResizedCrop bounds (--aug-cfg, reference transform.py:18-27).
     """
     lib = _load()
     if lib is None:
@@ -98,7 +109,7 @@ def decode_batch(
     else:
         seeds_p = None
     threads = num_threads or min(os.cpu_count() or 8, 16)
-    lib.mm_decode_batch(
+    common = (
         blob,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n,
@@ -109,6 +120,16 @@ def decode_batch(
         ok.ctypes.data_as(ctypes.c_void_p),
         threads,
     )
+    default_bounds = scale == (0.9, 1.0) and ratio == (3.0 / 4.0, 4.0 / 3.0)
+    if default_bounds or not hasattr(lib, "mm_decode_batch_aug"):
+        if not default_bounds:
+            raise RuntimeError(
+                "libmmtpu_data.so predates mm_decode_batch_aug; rebuild "
+                "multimodal_tpu/native to use non-default --aug-cfg crop bounds"
+            )
+        lib.mm_decode_batch(*common)
+    else:
+        lib.mm_decode_batch_aug(*common, scale[0], scale[1], ratio[0], ratio[1])
     return out, ok.astype(bool)
 
 

@@ -252,16 +252,19 @@ void eval_transform(const Image& img, int size, uint8_t* out) {
   resample(img, left * sx, top * sy, (left + size) * sx, (top + size) * sy, size, size, out);
 }
 
-void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out) {
-  // torchvision RandomResizedCrop(scale=(0.9,1.0), ratio=(3/4,4/3)) sampling algorithm
-  // (reference transform.py:108-117): 10 area/log-ratio attempts, center-crop fallback.
+void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out,
+                     double s_lo = 0.9, double s_hi = 1.0,
+                     double r_lo = 3.0 / 4.0, double r_hi = 4.0 / 3.0) {
+  // torchvision RandomResizedCrop(scale, ratio) sampling algorithm (reference
+  // transform.py:108-117; bounds from --aug-cfg, defaults scale=(0.9,1.0)
+  // ratio=(3/4,4/3)): 10 area/log-ratio attempts, center-crop fallback.
   std::mt19937_64 rng(seed);
   std::uniform_real_distribution<double> u01(0.0, 1.0);
   const double area = static_cast<double>(img.w) * img.h;
-  const double log_r0 = std::log(3.0 / 4.0), log_r1 = std::log(4.0 / 3.0);
+  const double log_r0 = std::log(r_lo), log_r1 = std::log(r_hi);
   int cw = -1, ch = -1, left = 0, top = 0;
   for (int attempt = 0; attempt < 10; ++attempt) {
-    const double target_area = area * (0.9 + 0.1 * u01(rng));
+    const double target_area = area * (s_lo + (s_hi - s_lo) * u01(rng));
     const double aspect = std::exp(log_r0 + (log_r1 - log_r0) * u01(rng));
     const int w = static_cast<int>(std::lround(std::sqrt(target_area * aspect)));
     const int h = static_cast<int>(std::lround(std::sqrt(target_area / aspect)));
@@ -275,12 +278,12 @@ void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out) {
   }
   if (cw < 0) {  // fallback: clamp aspect, central crop
     const double in_ratio = static_cast<double>(img.w) / img.h;
-    if (in_ratio < 3.0 / 4.0) {
+    if (in_ratio < r_lo) {
       cw = img.w;
-      ch = static_cast<int>(std::lround(cw / (3.0 / 4.0)));
-    } else if (in_ratio > 4.0 / 3.0) {
+      ch = static_cast<int>(std::lround(cw / r_lo));
+    } else if (in_ratio > r_hi) {
       ch = img.h;
-      cw = static_cast<int>(std::lround(ch * (4.0 / 3.0)));
+      cw = static_cast<int>(std::lround(ch * r_hi));
     } else {
       cw = img.w;
       ch = img.h;
@@ -304,8 +307,12 @@ extern "C" {
 // one memcpy-friendly ctypes crossing instead of n pointers).
 // mode: 0 = eval (resize+center crop), 1 = train (RandomResizedCrop, seeded by seeds[i]).
 // ok[i] = 1 decoded, 0 failed (out black-filled). Returns count of failures.
-int mm_decode_batch(const uint8_t* blob, const int64_t* offsets, int n, int size, int mode,
-                    const uint64_t* seeds, uint8_t* out, uint8_t* ok, int n_threads) {
+// _aug variant: RandomResizedCrop bounds from --aug-cfg (scale_lo/hi, ratio_lo/hi);
+// mm_decode_batch below forwards with the reference defaults, so its RNG stream and
+// output are bit-identical to the pre-aug ABI.
+int mm_decode_batch_aug(const uint8_t* blob, const int64_t* offsets, int n, int size,
+                        int mode, const uint64_t* seeds, uint8_t* out, uint8_t* ok,
+                        int n_threads, double s_lo, double s_hi, double r_lo, double r_hi) {
   std::atomic<int> next(0), failures(0);
   // 2x headroom before DCT-domain downscaling: keeps the decode-at-1/k + bicubic result
   // within rounding of full-decode + bicubic (no aliasing drift vs the PIL reference).
@@ -327,7 +334,7 @@ int mm_decode_batch(const uint8_t* blob, const int64_t* offsets, int n, int size
         continue;
       }
       if (mode == 1) {
-        train_transform(img, size, seeds ? seeds[i] : 0, dst);
+        train_transform(img, size, seeds ? seeds[i] : 0, dst, s_lo, s_hi, r_lo, r_hi);
       } else {
         eval_transform(img, size, dst);
       }
@@ -340,6 +347,12 @@ int mm_decode_batch(const uint8_t* blob, const int64_t* offsets, int n, int size
   for (int k = 0; k < t; ++k) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return failures.load();
+}
+
+int mm_decode_batch(const uint8_t* blob, const int64_t* offsets, int n, int size, int mode,
+                    const uint64_t* seeds, uint8_t* out, uint8_t* ok, int n_threads) {
+  return mm_decode_batch_aug(blob, offsets, n, size, mode, seeds, out, ok, n_threads,
+                             0.9, 1.0, 3.0 / 4.0, 4.0 / 3.0);
 }
 
 // Probe: is this buffer a JPEG we handle natively? (PNG/webp go to the Python fallback.)

@@ -123,6 +123,12 @@ def parse_args(args=None):
                    help="variational finetune: train only the heads vCLIP adds on a "
                         "pretrained backbone (variationalClip.py:204 / trainer.ipynb "
                         "FREEZE_BACKBONE)")
+    g.add_argument("--lora-rank", type=int, default=0,
+                   help="PEFT-style LoRA finetune (finetune.ipynb:cell 12): add rank-r "
+                        "adapters on every attention/MLP projection and train ONLY the "
+                        "adapters + logit scale (base weights frozen)")
+    g.add_argument("--lora-alpha", type=float, default=16.0,
+                   help="LoRA scaling numerator; effective delta = alpha/rank * A@B")
     g.add_argument("--force-custom-text", "--use-bn-sync", "--pretrained-image",
                    action="store_true", dest="gpu_flags_noop",
                    help="accepted for recipe compat; HF text towers / SyncBN / "

@@ -138,13 +138,16 @@ def _finetune_mask(params, mode: str):
     (Models/clipModel.py:37-42 freeze_for_finetuning — visual.proj/text_projection).
     mode='heads': train only the parameters a VariationalCLIP adds on top of a pretrained
     backbone — mean/var projections, concentration token + scale, final norms, logit scale
-    (Models/variationalClip.py:204 freeze_backbone / trainer.ipynb FREEZE_BACKBONE)."""
+    (Models/variationalClip.py:204 freeze_backbone / trainer.ipynb FREEZE_BACKBONE).
+    mode='lora': train only the low-rank adapter pairs + logit scale (--lora-rank,
+    finetune.ipynb:cell 12 PEFT LoRA)."""
     import optax
 
     head_tags = {
         "projections": ("projection", "logit_scale"),
         "heads": ("projection", "logit_scale", "log_concentration", "extra_embedding",
                   "ln_post", "ln_final"),
+        "lora": ("lora_a", "lora_b", "logit_scale"),
     }[mode]
 
     def keep(path, leaf):
@@ -675,6 +678,8 @@ def main(argv=None):
         patch_dropout=args.force_patch_dropout,
         force_quick_gelu=args.force_quick_gelu,
         siglip=args.loss == "siglip",
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
     )
     params = init_params(model, jax.random.PRNGKey(args.seed))
     if args.pretrained:
@@ -718,11 +723,16 @@ def main(argv=None):
                 getattr(args, "semantic_model_path", None)
             ))
     if getattr(args, "aug_cfg", None):
-        # never silently drop: the native train crop implements the reference's default
-        # RandomResizedCrop(scale=(0.9,1.0), ratio=(3/4,4/3)); timm-style --aug-cfg
-        # overrides (transform.py:88-106) are not applied on this path
-        log.warning("--aug-cfg %s is not applied by the native input pipeline "
-                    "(train crop fixed at the reference defaults)", dict(args.aug_cfg))
+        # timm-style augmentation config (reference transform.py:18-27,88-106): crop
+        # scale/ratio parameterize the decode-time RandomResizedCrop; color_jitter /
+        # grayscale_prob / re_prob run as post-decode numpy stages (data/augment.py).
+        # Unsupported keys warn loudly inside parse_aug_cfg.
+        if dataset_type == "synthetic":
+            log.warning("--aug-cfg has no effect on synthetic data (no decode stage)")
+        else:
+            from multimodal_tpu.data.augment import parse_aug_cfg
+
+            data_kw.update(aug_cfg=parse_aug_cfg(dict(args.aug_cfg)))
     train_src = build_dataset(
         dataset_type, path=args.train_data or "", batch_size=args.batch_size,
         train=True, seed=args.seed, num_hosts=num_hosts, host_id=host_id,
@@ -773,7 +783,13 @@ def main(argv=None):
         grad_clip_norm=args.grad_clip_norm, skip_nonfinite=args.skip_nonfinite,
         opt=args.opt,
     )
-    if args.train_projections_only or args.freeze_backbone:
+    if args.lora_rank:
+        import optax
+
+        masked, mask = _finetune_mask(params, "lora")
+        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
+            lambda m: not m, mask)))
+    elif args.train_projections_only or args.freeze_backbone:
         import optax
 
         masked, mask = _finetune_mask(
