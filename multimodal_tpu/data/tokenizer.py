@@ -69,7 +69,12 @@ def _clean(text: str) -> str:
     if _HAS_FTFY:
         text = ftfy.fix_text(text)
     else:
-        text = unicodedata.normalize("NFC", text)
+        # vendored ftfy subset: cp1252-mojibake repair + NFC, so CC12M-style dirty
+        # captions tokenize identically with or without ftfy in the environment
+        # (reference tokenizer.py:60-63 applies ftfy unconditionally)
+        from multimodal_tpu.data.textfix import fix_text
+
+        text = unicodedata.normalize("NFC", fix_text(text))
     text = html.unescape(html.unescape(text))
     return _WS_PATTERN.sub(" ", text).strip()
 

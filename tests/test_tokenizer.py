@@ -135,3 +135,39 @@ def test_tokenize_default_uses_native_when_eligible():
     want = tokenize(["a photo of a cat"], use_native=False)
     np.testing.assert_array_equal(got, want)
     assert got[0, 0] == 49406 and 49407 in got[0]
+
+
+def test_mojibake_tokenizes_like_clean_text(tok):
+    """ftfy-parity on dirty web captions (reference tokenizer.py:60-63 applies ftfy
+    unconditionally; data/textfix.py vendors the cp1252-mojibake subset): the mojibake
+    form must produce the SAME token ids as the clean form in any environment."""
+    pairs = [
+        ("CafÃ© de Paris", "Café de Paris"),
+        ("CafÃƒÂ©", "Café"),                      # double-encoded
+        ("donâ€™t stop believinâ€™", "don’t stop believin’"),
+        ("ðŸ˜€ smiling face", "😀 smiling face"),  # mojibake emoji
+        ("mÃ¼nchen weiÃŸbier", "münchen weißbier"),
+    ]
+    dirty, clean = zip(*pairs)
+    np.testing.assert_array_equal(tokenize(list(dirty)), tokenize(list(clean)))
+
+
+def test_clean_unicode_passes_through(tok):
+    """Genuine accents/emoji must NOT be mangled by the mojibake repair."""
+    cases = ["São Paulo café", "naïve résumé", "a 😀 in text", "日本語のキャプション"]
+    ids = tokenize(cases)
+    # identity check at the string level via the internal cleaner
+    from multimodal_tpu.data.tokenizer import _clean
+
+    for c in cases:
+        assert _clean(c) == c
+    assert (ids[:, 0] == 49406).all()
+
+
+def test_nfd_nfc_agree(tok):
+    import unicodedata
+
+    composed = "Café naïve résumé"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # the test is vacuous otherwise
+    np.testing.assert_array_equal(tokenize([composed]), tokenize([decomposed]))
