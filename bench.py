@@ -72,6 +72,9 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     parser.add_argument("--remat", action="store_true",
                         help="per-block rematerialization (A/B for HBM-bound configs)")
+    parser.add_argument("--opt-state-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="AdamW moment dtype (bfloat16 fits ViT-g/14 on one 16GB v5e)")
     args = parser.parse_args()
 
     # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
@@ -132,6 +135,7 @@ def main():
         make_schedule("cosine", 1e-3, warmup_steps=100, total_steps=10000),
         weight_decay=0.1,
         grad_clip_norm=1.0,
+        state_dtype=jnp.dtype(args.opt_state_dtype),
     )
     state = TrainState.create(params, tx)
     mesh = create_mesh()

@@ -149,6 +149,7 @@ def fused_adamw(
     eps: float = 1e-6,
     grad_clip_norm: Optional[float] = None,
     skip_nonfinite: bool = True,
+    state_dtype: jnp.dtype = jnp.float32,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip + exact non-finite skip + weight-decay masking in ONE pass
     per parameter leaf.
@@ -158,13 +159,18 @@ def fused_adamw(
     Measured perf-neutral vs the modular optax chain on v5e (XLA fuses the chain's stage
     boundaries too) — kept as the default for the simpler state layout, the free grad_norm/
     skip counters, and exact-parity tests against the optax reference
-    (tests/test_fused_optimizer.py)."""
+    (tests/test_fused_optimizer.py).
+
+    ``state_dtype=bfloat16`` stores BOTH moments in bf16 (arithmetic stays f32): halves
+    the optimizer-state HBM from 8 to 4 bytes/param — the difference between ViT-g/14's
+    AdamW fitting a single 16 GB v5e or not. bf16's ~3 significant digits perturb the
+    rsqrt(nu) step scale by well under 1%, the standard large-model tradeoff."""
 
     def init(params):
         return FusedAdamWState(
             count=jnp.zeros((), jnp.int32),
-            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
-            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, state_dtype), params),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, state_dtype), params),
             grad_norm=jnp.zeros((), jnp.float32),
             notfinite_count=jnp.zeros((), jnp.int32),
         )
@@ -193,12 +199,14 @@ def fused_adamw(
 
         def leaf(g, mu, nu, p, decayed):
             g = g.astype(jnp.float32) * scale
-            mu_new = beta1 * mu + (1.0 - beta1) * g
-            nu_new = beta2 * nu + (1.0 - beta2) * jnp.square(g)
+            mu_new = beta1 * mu.astype(jnp.float32) + (1.0 - beta1) * g
+            nu_new = beta2 * nu.astype(jnp.float32) + (1.0 - beta2) * jnp.square(g)
             upd = (mu_new / c1) / (jnp.sqrt(nu_new / c2) + eps)
             if decayed:
                 upd = upd + weight_decay * p.astype(jnp.float32)
             upd = -lr * upd
+            mu_new = mu_new.astype(state_dtype)
+            nu_new = nu_new.astype(state_dtype)
             if skip_nonfinite:
                 # exact skip: moments frozen, update zeroed on the bad step
                 mu_new = jnp.where(finite, mu_new, mu)
@@ -234,6 +242,7 @@ def make_optimizer(
     max_consecutive_nonfinite: int = 100,
     fused: bool = True,
     opt: str = "adamw",
+    state_dtype: jnp.dtype = jnp.float32,
 ):
     """Default: the single-pass fused AdamW (see fused_adamw). fused=False builds the
     modular optax chain with identical semantics — kept for composition with other optax
@@ -262,6 +271,7 @@ def make_optimizer(
         return fused_adamw(
             schedule, weight_decay=weight_decay, beta1=beta1, beta2=beta2, eps=eps,
             grad_clip_norm=grad_clip_norm, skip_nonfinite=skip_nonfinite,
+            state_dtype=state_dtype,
         )
     tx = optax.chain(
         # one pass computes the global norm, clips, and zeroes non-finite updates; the norm

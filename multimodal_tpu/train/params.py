@@ -70,6 +70,10 @@ def parse_args(args=None):
     g.add_argument("--opt", choices=["adamw", "lamb", "lars"], default="adamw",
                    help="adamw (reference) or large-batch trust-ratio optimizers "
                         "(beyond reference; for very large global contrastive batches)")
+    g.add_argument("--opt-state-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="AdamW moment storage dtype; bfloat16 halves optimizer-state HBM "
+                        "(4 vs 8 bytes/param) for billion-param models on one chip")
     g.add_argument("--beta1", type=float, default=None)
     g.add_argument("--beta2", type=float, default=None)
     g.add_argument("--eps", type=float, default=None)

@@ -781,7 +781,7 @@ def main(argv=None):
     tx = make_optimizer(
         schedule, weight_decay=args.wd, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         grad_clip_norm=args.grad_clip_norm, skip_nonfinite=args.skip_nonfinite,
-        opt=args.opt,
+        opt=args.opt, state_dtype=jnp.dtype(args.opt_state_dtype),
     )
     if args.lora_rank:
         import optax

@@ -122,3 +122,30 @@ def test_lamb_and_lars_train():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_bf16_state_dtype_tracks_f32():
+    """--opt-state-dtype bfloat16: moments stored bf16, trajectory tracks the f32 one
+    within bf16 rounding over many steps (the ViT-g/14 single-chip memory mode)."""
+    sched = make_schedule("cosine", 1e-3, warmup_steps=3, total_steps=50)
+    kw = dict(weight_decay=0.1, grad_clip_norm=1.0, skip_nonfinite=True)
+    tx32 = make_optimizer(sched, fused=True, **kw)
+    tx16 = make_optimizer(sched, fused=True, state_dtype=jnp.bfloat16, **kw)
+    p32 = _params(jax.random.PRNGKey(0))
+    p16 = jax.tree_util.tree_map(jnp.copy, p32)
+    s32, s16 = tx32.init(p32), tx16.init(p16)
+    assert s16.mu["dense"]["kernel"].dtype == jnp.bfloat16
+    assert s16.nu["emb"].dtype == jnp.bfloat16
+    assert s32.mu["dense"]["kernel"].dtype == jnp.float32
+    import optax
+
+    for i in range(20):
+        g = _grads(jax.random.PRNGKey(100 + i), p32)
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = optax.apply_updates(p32, u32)
+        p16 = optax.apply_updates(p16, u16)
+    for a, b in zip(jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(p16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.05, atol=2e-4)
+    # grad norm reporting unaffected
+    assert np.isfinite(float(extract_grad_norm(s16)))
