@@ -24,6 +24,14 @@ def pytest_configure(config):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+    # persistent compile cache: the suite's cost is dominated by re-jitting the same
+    # sharded train steps across sessions; XLA:CPU AOT results load in milliseconds on
+    # later runs (fresh machines pay full compile once — correctness is unaffected)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_test_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:
         capman.stop_global_capturing()
