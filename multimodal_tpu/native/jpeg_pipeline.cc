@@ -138,13 +138,16 @@ inline double bicubic_filter(double x) {  // Keys kernel, a = -0.5 (PIL's BICUBI
 
 struct Contribs {
   std::vector<int> bounds;       // [out * 2]: (first, count)
-  std::vector<double> weights;   // [out * kmax]
+  std::vector<float> weights;    // [out * kmax]; f32 exceeds PIL's 8.8 fixed-point
   int kmax = 0;
 };
 
 // Precompute 1-D contributions for resampling the [box0, box1) window of an in_size-wide
 // axis to out_size. Taps clamp to the FULL image [0, in_size) — PIL's box-resize semantics:
-// the box positions the output grid, it does not truncate the filter footprint.
+// the box positions the output grid, it does not truncate the filter footprint. Weight
+// NORMALIZATION stays in double (PIL computes coefficients in double before quantizing);
+// storage is float: PIL itself stores them as 8.8-ish fixed-point INT16, so f32 is
+// strictly more precise than the parity target.
 Contribs compute_contribs(int out_size, double box0, double box1, int in_size) {
   Contribs c;
   const double in_span = box1 - box0;
@@ -153,7 +156,8 @@ Contribs compute_contribs(int out_size, double box0, double box1, int in_size) {
   const double support = 2.0 * filterscale;  // bicubic support = 2
   c.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
   c.bounds.resize(out_size * 2);
-  c.weights.assign(static_cast<size_t>(out_size) * c.kmax, 0.0);
+  c.weights.assign(static_cast<size_t>(out_size) * c.kmax, 0.0f);
+  std::vector<double> wtmp(c.kmax);
   for (int i = 0; i < out_size; ++i) {
     const double center = box0 + (i + 0.5) * scale;
     int first = static_cast<int>(center - support + 0.5);
@@ -161,25 +165,30 @@ Contribs compute_contribs(int out_size, double box0, double box1, int in_size) {
     first = std::max(first, 0);
     last = std::min(last, in_size);
     double sum = 0.0;
-    double* w = &c.weights[static_cast<size_t>(i) * c.kmax];
     for (int j = first; j < last; ++j) {
       const double wv = bicubic_filter((j - center + 0.5) / filterscale);
-      w[j - first] = wv;
+      wtmp[j - first] = wv;
       sum += wv;
     }
+    float* w = &c.weights[static_cast<size_t>(i) * c.kmax];
     if (sum != 0.0)
-      for (int j = 0; j < last - first; ++j) w[j] /= sum;
+      for (int j = 0; j < last - first; ++j)
+        w[j] = static_cast<float>(wtmp[j] / sum);
     c.bounds[i * 2] = first;
     c.bounds[i * 2 + 1] = last - first;
   }
   return c;
 }
 
-inline uint8_t clamp8(double v) {
-  return static_cast<uint8_t>(std::min(255.0, std::max(0.0, v + 0.5)));
+inline uint8_t clamp8(float v) {
+  return static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v + 0.5f)));
 }
 
 // Resample src (HWC u8) region [bx0,bx1)x[by0,by1) to out_w x out_h (HWC u8).
+// Hot path of the input pipeline (decode is DCT-downscaled; this runs at full tap count):
+// f32 arithmetic (>= PIL's fixed-point precision), no in-loop clamps (compute_contribs
+// already bounds every tap), and a row-accumulator vertical pass so both passes are
+// sequential-access FMA loops the compiler auto-vectorizes.
 void resample(const Image& src, double bx0, double by0, double bx1, double by1,
               int out_w, int out_h, uint8_t* dst) {
   const Contribs cx = compute_contribs(out_w, bx0, bx1, src.w);
@@ -199,38 +208,35 @@ void resample(const Image& src, double bx0, double by0, double bx1, double by1,
     float* trow = &tmp[static_cast<size_t>(y) * out_w * 3];
     for (int x = 0; x < out_w; ++x) {
       const int first = cx.bounds[x * 2], count = cx.bounds[x * 2 + 1];
-      const double* w = &cx.weights[static_cast<size_t>(x) * cx.kmax];
-      double r = 0, g = 0, b = 0;
-      for (int j = 0; j < count; ++j) {
-        const int sx = std::min(std::max(first + j, 0), src.w - 1);
-        const uint8_t* p = srow + sx * 3;
+      const float* w = &cx.weights[static_cast<size_t>(x) * cx.kmax];
+      const uint8_t* p = srow + first * 3;  // taps are pre-clamped to [0, src.w)
+      float r = 0, g = 0, b = 0;
+      for (int j = 0; j < count; ++j, p += 3) {
         r += w[j] * p[0];
         g += w[j] * p[1];
         b += w[j] * p[2];
       }
-      trow[x * 3 + 0] = static_cast<float>(r);
-      trow[x * 3 + 1] = static_cast<float>(g);
-      trow[x * 3 + 2] = static_cast<float>(b);
+      trow[x * 3 + 0] = r;
+      trow[x * 3 + 1] = g;
+      trow[x * 3 + 2] = b;
     }
   }
-  // vertical pass
+  // vertical pass: accumulate whole rows (sequential loads over tmp, one FMA sweep per
+  // tap) instead of walking columns — the strided column walk was the cache bottleneck
+  std::vector<float> acc(static_cast<size_t>(out_w) * 3);
+  const size_t row_elems = static_cast<size_t>(out_w) * 3;
   for (int y = 0; y < out_h; ++y) {
     const int first = cy.bounds[y * 2], count = cy.bounds[y * 2 + 1];
-    const double* w = &cy.weights[static_cast<size_t>(y) * cy.kmax];
-    uint8_t* drow = dst + static_cast<size_t>(y) * out_w * 3;
-    for (int x = 0; x < out_w; ++x) {
-      double r = 0, g = 0, b = 0;
-      for (int j = 0; j < count; ++j) {
-        const int sy = std::min(std::max(first + j - y_lo, 0), tmp_h - 1);
-        const float* p = &tmp[(static_cast<size_t>(sy) * out_w + x) * 3];
-        r += w[j] * p[0];
-        g += w[j] * p[1];
-        b += w[j] * p[2];
-      }
-      drow[x * 3 + 0] = clamp8(r);
-      drow[x * 3 + 1] = clamp8(g);
-      drow[x * 3 + 2] = clamp8(b);
+    const float* w = &cy.weights[static_cast<size_t>(y) * cy.kmax];
+    std::memset(acc.data(), 0, row_elems * sizeof(float));
+    for (int j = 0; j < count; ++j) {
+      const float wj = w[j];
+      const float* p = &tmp[(static_cast<size_t>(first + j - y_lo)) * row_elems];
+      float* a = acc.data();
+      for (size_t x = 0; x < row_elems; ++x) a[x] += wj * p[x];
     }
+    uint8_t* drow = dst + static_cast<size_t>(y) * row_elems;
+    for (size_t x = 0; x < row_elems; ++x) drow[x] = clamp8(acc[x]);
   }
 }
 
@@ -316,7 +322,14 @@ int mm_decode_batch_aug(const uint8_t* blob, const int64_t* offsets, int n, int 
   std::atomic<int> next(0), failures(0);
   // 2x headroom before DCT-domain downscaling: keeps the decode-at-1/k + bicubic result
   // within rounding of full-decode + bicubic (no aliasing drift vs the PIL reference).
-  const int min_side = size * 2;
+  // MMTPU_DECODE_HEADROOM overrides (e.g. 1.3 trades a touch of resample fidelity for
+  // engaging the 1/2 DCT scale on ~2x-target shards — measured speed/parity tradeoff).
+  static const double headroom = [] {
+    const char* e = std::getenv("MMTPU_DECODE_HEADROOM");
+    double v = e ? std::atof(e) : 2.0;
+    return (v >= 1.0 && v <= 8.0) ? v : 2.0;
+  }();
+  const int min_side = static_cast<int>(std::lround(size * headroom));
   auto worker = [&]() {
     for (;;) {
       const int i = next.fetch_add(1);

@@ -45,15 +45,17 @@ def _interpret() -> bool:
 
 def block_attn_supported(batch: int, seq: int, width: int, heads: int) -> bool:
     head_dim = width // heads
-    # Lane-aligned head_dims (sublane-free per-head slices) are always on; other
+    # Lane-aligned head_dims (32/64/128: sublane-free per-head slices) and other
     # 8-multiples (ViT-H/14's 80, ViT-g/14's 88 — Mosaic lowers the misaligned lane
-    # slices with shuffles) are opt-in for measurement until proven on-chip.
+    # slices with shuffles) are both DEFAULT-ON: the head-dim-80 A/B measured the kernel
+    # at 98.9 samples/s vs 77.7 on the XLA fallback for ViT-H/14 b32 (+27%, MFU 57.5 vs
+    # 45.2, BENCH r3 sweep). MMTPU_BLOCK_ATTN_ALIGNED_ONLY=1 reverts to the aligned set.
     import os
 
     dim_ok = head_dim in (32, 64, 128) or (
         head_dim % 8 == 0
         and head_dim < 128
-        and bool(os.environ.get("MMTPU_BLOCK_ATTN_ANY_HEAD"))
+        and not os.environ.get("MMTPU_BLOCK_ATTN_ALIGNED_ONLY")
     )
     return dim_ok and width % 128 == 0 and seq <= MAX_BLOCK_SEQ
 

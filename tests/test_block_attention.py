@@ -87,24 +87,26 @@ def test_supported_predicate():
     assert block_attn_supported(256, 77, 512, 8)    # text tower
     assert not block_attn_supported(256, 196 + 1, 768, 12) is None  # always bool
     assert not block_attn_supported(256, 400, 768, 12)  # too long
-    assert not block_attn_supported(256, 50, 768, 16)   # head_dim 48
+    assert block_attn_supported(256, 50, 768, 16)       # head_dim 48 (8-mult: on)
+    assert not block_attn_supported(256, 50, 768, 64)   # head_dim 12: not 8-multiple
 
 
 def test_any_head_dim_gate(monkeypatch):
-    # head_dim 48/80/88 (ViT-H/14, ViT-g/14) are off by default, opt-in via env
-    assert not block_attn_supported(8, 50, 640, 8)       # head_dim 80
-    monkeypatch.setenv("MMTPU_BLOCK_ATTN_ANY_HEAD", "1")
-    assert block_attn_supported(8, 50, 640, 8)
+    # head_dim 8-multiples (ViT-H/14's 80, ViT-g/14's 88) are DEFAULT-ON since the
+    # +27% H/14 A/B; MMTPU_BLOCK_ATTN_ALIGNED_ONLY=1 reverts to the aligned set
+    assert block_attn_supported(8, 50, 640, 8)           # head_dim 80
     assert block_attn_supported(8, 257, 1280, 16)        # ViT-H/14 vision tower
     assert block_attn_supported(8, 257, 1408, 16)        # ViT-g/14 vision tower
     assert block_attn_supported(8, 50, 512, 4)           # head_dim 128: always on
-    monkeypatch.delenv("MMTPU_BLOCK_ATTN_ANY_HEAD")
-    assert not block_attn_supported(8, 257, 1280, 16)    # gate off again
+    monkeypatch.setenv("MMTPU_BLOCK_ATTN_ALIGNED_ONLY", "1")
+    assert not block_attn_supported(8, 257, 1280, 16)    # opt-out works
+    assert block_attn_supported(8, 50, 512, 4)           # aligned dims unaffected
+    monkeypatch.delenv("MMTPU_BLOCK_ATTN_ALIGNED_ONLY")
+    assert block_attn_supported(8, 257, 1280, 16)
 
 
 @pytest.mark.parametrize("heads", [8, 16])  # head_dim 80 and 40
 def test_any_head_dim_parity(monkeypatch, heads):
-    monkeypatch.setenv("MMTPU_BLOCK_ATTN_ANY_HEAD", "1")
     b, s, w = 2, 24, 640
     x, ws = _make_inputs(jax.random.PRNGKey(7), b, s, w, jnp.float32)
     got = block_attention(x, *ws, heads=heads, causal=False)
@@ -408,6 +410,7 @@ def test_stream_pad_len_predicate(monkeypatch):
     assert stream_pad_len(256, 257, 1024, 16) == 272  # ViT-L/14
     assert stream_pad_len(256, 50, 768, 12) is None   # short S: no per-call pad either
     assert stream_pad_len(256, 208, 768, 12) is None  # already aligned
-    assert stream_pad_len(256, 197, 768, 16) is None  # head_dim 48: kernel-unsupported
+    assert stream_pad_len(256, 197, 768, 16) == 208  # head_dim 48: now kernel-supported
+    assert stream_pad_len(256, 197, 768, 64) is None  # head_dim 12: kernel-unsupported
     monkeypatch.setenv("MMTPU_STREAM_PAD", "0")
     assert stream_pad_len(256, 197, 768, 12) is None
