@@ -72,18 +72,27 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     parser.add_argument("--remat", action="store_true",
                         help="per-block rematerialization (A/B for HBM-bound configs)")
-    parser.add_argument("--opt-state-dtype", default="float32",
+    parser.add_argument("--opt-state-dtype", default=None,
                         choices=["float32", "bfloat16"],
-                        help="AdamW moment dtype (bfloat16 fits ViT-g/14 on one 16GB v5e)")
+                        help="AdamW moment dtype; default f32 except H/14 and g/14 "
+                             "(bfloat16 is the only single-chip fit at their peak batch)")
     args = parser.parse_args()
 
     # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
     # B/16 peaks at 272 (+4% over 256; 320+ regresses under bwd-activation HBM pressure);
-    # L/14 peaks at 96 (sweep 48..128: 237/240/243/243/241/224 — 128 hits the same cliff)
-    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96}
+    # L/14 peaks at 96 (sweep 48..128: 237/240/243/243/241/224 — 128 hits the same cliff);
+    # H/14 peaks at 48 and g/14 at 16, both REQUIRING bf16 AdamW state on a 16 GB chip
+    # (f32 state OOMs H/14 at b48 and g/14 at any batch) — forced below
+    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96, "ViT-H-14": 48, "ViT-g-14": 16}
     batch = args.batch_size or (
         64 if args.quick else best_batch.get(args.model, 256)
     )
+    if args.opt_state_dtype is None:
+        # measured: bf16 state is the only single-chip fit at H/14's and g/14's peak
+        # batch; tracks f32 within rounding (test_bf16_state_dtype_tracks_f32)
+        args.opt_state_dtype = (
+            "bfloat16" if args.model in ("ViT-H-14", "ViT-g-14") else "float32"
+        )
     steps = args.steps or (3 if args.quick else 8)
     warmup = 1 if args.quick else 3
 

@@ -42,9 +42,10 @@ def test_scaleup_configs_parse():
     assert int(g.vision.width * g.vision.mlp_ratio) == 6144
     from multimodal_tpu.ops.block_attention import block_attn_supported
 
+    # head dims 80/88 dispatch to the block kernel by default since the +27% H/14 A/B
     for cfg in (h, g):
         seq = (cfg.vision.image_size // cfg.vision.patch_size) ** 2 + 1
-        assert not block_attn_supported(8, seq, cfg.vision.width, cfg.vision.heads)
+        assert block_attn_supported(8, seq, cfg.vision.width, cfg.vision.heads)
 
 
 @pytest.mark.parametrize("name", ["tiny-test", "tiny-test-shared"])
