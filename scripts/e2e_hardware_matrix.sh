@@ -42,7 +42,11 @@ run clip           --loss clip
 run align          --loss align --clip-inModality-loss
 run cloob          --loss cloob
 run vclip-mean     --loss vclip --variational --use-mean-only
-run vclip-mc       --loss vclip --variational --mc-samples 8 --kl-warmup-epochs 1
+# kl-warmup-epochs 2 => epoch 0 is MEAN-ONLY (the zero-KL phase is warmup_epochs-1
+# epochs), then the KL ramp + riemannian hook; warmup 1 would sample from step 0 —
+# the documented round-1 collapse mode (run.py:kl_schedule)
+run vclip-mc       --loss vclip --variational --mc-samples 8 --kl-warmup-epochs 2 \
+                   --epochs 4
 run siglip         --loss siglip
 run ema            --loss clip --model-ema
 run lamb           --loss clip --opt lamb --lr 2e-3
