@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_tpu.ops.pallas_util import sds
+
 NEG_INF = -1e30
 MAX_BLOCK_SEQ = 320
 # v5e/v5p have 128 MB of VMEM; the default 16 MB scoped limit rejects the S>128 block
@@ -477,7 +479,7 @@ def _block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, heads, causal, kv_len):
         grid=(b // g_imgs,),
         in_specs=[xspec] + _weight_specs(w),
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        out_shape=sds((b, s, w), x.dtype, x),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
         ),
@@ -540,7 +542,7 @@ def _block_attention_bwd(heads, causal, kv_len, residuals, dy):
         bwd, g_imgs=g_imgs, heads=heads, head_dim=head_dim,
         scale=head_dim ** -0.5, causal=causal, kv_len=kv_len,
     )
-    shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
+    shape = sds((b, s, w), x.dtype, x)
     dx, dq, dk, dv, attnpre = pl.pallas_call(
         kern,
         grid=(b // g_imgs,),
@@ -595,7 +597,7 @@ def _block_attention_ln(x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
         grid=(b // g_imgs,),
         in_specs=[xspec, gspec, gspec] + _weight_specs(w),
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        out_shape=sds((b, s, w), x.dtype, x),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",), vmem_limit_bytes=VMEM_LIMIT
         ),
@@ -625,8 +627,8 @@ def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residual, residuals, 
         scale=head_dim ** -0.5, causal=causal, kv_len=kv_len, ln_eps=ln_eps,
         residual=residual,
     )
-    shape = jax.ShapeDtypeStruct((b, s, w), x.dtype)
-    pshape = jax.ShapeDtypeStruct((n_prog * 8, w), jnp.float32)
+    shape = sds((b, s, w), x.dtype, x)
+    pshape = sds((n_prog * 8, w), jnp.float32, x)
     dx, dq, dk, dv, attnpre, ln_out, dg_p, db_p = pl.pallas_call(
         kern,
         grid=(n_prog,),
@@ -665,6 +667,30 @@ def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residual, residuals, 
 _block_attention_ln.defvjp(_block_attention_ln_fwd, _block_attention_ln_bwd)
 
 
+def _xla_equivalent(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads, causal,
+                    ln_scale, ln_bias, ln_eps, residual, kv_len):
+    """Plain-XLA composition with the kernel's exact numerics (pre-LN fold, scaled-dot
+    attention with -1e30 pad/causal masking, output projection, optional residual)."""
+    from multimodal_tpu.ops.attention import _xla_attention
+
+    b, s, w = x.shape
+    head_dim = w // heads
+    x_raw = x
+    if ln_scale is not None:
+        x = _ln_rows(x, ln_scale, ln_bias, ln_eps)
+    q = (x @ wq + bq).reshape(b, s, heads, head_dim)
+    k = (x @ wk + bk).reshape(b, s, heads, head_dim)
+    v = (x @ wv + bv).reshape(b, s, heads, head_dim)
+    mask = None
+    if kv_len is not None and kv_len < s:
+        mask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3) < kv_len, 0.0, NEG_INF
+        )
+    out = _xla_attention(q, k, v, causal, mask).reshape(b, s, w)
+    y = out @ wo + bo
+    return x_raw + y if residual else y
+
+
 def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bool = False,
                     ln_scale=None, ln_bias=None, ln_eps: float = 1e-5,
                     residual: bool = False, kv_len: int | None = None):
@@ -700,6 +726,23 @@ def block_attention(x, wq, bq, wk, bk, wv, bv, wo, bo, *, heads: int, causal: bo
 
     if residual and ln_scale is None:
         raise ValueError("residual=True requires the fused pre-LN form (ln_scale)")
+    from multimodal_tpu.ops.pallas_util import match_vma
+
+    # under shard_map: weights are replicated (vma={}) while x varies over the batch
+    # axes — pvary them up so every primitive (and the pallas out_shape) type-checks
+    wq, bq, wk, bk, wv, bv, wo, bo = match_vma(x, wq, bq, wk, bk, wv, bv, wo, bo)
+    if ln_scale is not None:
+        ln_scale, ln_bias = match_vma(x, ln_scale, ln_bias)
+    if _interpret() and getattr(jax.typeof(x), "vma", None):
+        # CPU interpret mode inside shard_map: the HLO interpreter replays the kernel
+        # body as JAX ops, where in-body constants (iota masks) fail check_vma. Use the
+        # identical-numerics XLA composition instead (real TPU takes the kernel path,
+        # whose out_shape carries the vma via pallas_util.sds).
+        return _xla_equivalent(
+            x, wq, bq, wk, bk, wv, bv, wo, bo, heads=heads, causal=causal,
+            ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=ln_eps,
+            residual=residual, kv_len=kv_len,
+        )
     x_raw = x
     s = x.shape[1]
     if kv_len is not None and (s % 16 != 0 and s > 128):

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_tpu.ops.pallas_util import sds
+
 from multimodal_tpu.ops.block_attention import VMEM_LIMIT, _interpret, _ln_rows
 
 ACTS = ("quick_gelu", "gelu")
@@ -194,10 +196,10 @@ def _fwd_call(x, gamma, beta, w1, b1, w2, b2, act, residual, save_h):
     xp = _pad_rows(x, m)
     tp = xp.shape[0]
     xspec, gspec, w1spec, b1spec, w2spec = _specs(m, w, h)
-    out_shape = [jax.ShapeDtypeStruct((tp, w), x.dtype)]
+    out_shape = [sds((tp, w), x.dtype, x)]
     out_specs = [xspec]
     if save_h:
-        out_shape.append(jax.ShapeDtypeStruct((tp, h), x.dtype))
+        out_shape.append(sds((tp, h), x.dtype, x))
         out_specs.append(pl.BlockSpec((m, h), lambda i: (i, 0)))
     kern = functools.partial(_fwd_kernel, act=act, residual=residual)
     outs = pl.pallas_call(
@@ -239,13 +241,13 @@ def _block_mlp_bwd(act, residual, residuals, dy):
         out_specs=[xspec, acc(w, hid), acc(hid, w), acc(8, hid), acc(8, w),
                    acc(8, w), acc(8, w)],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, w), x.dtype),
-            jax.ShapeDtypeStruct((w, hid), f32),
-            jax.ShapeDtypeStruct((hid, w), f32),
-            jax.ShapeDtypeStruct((8, hid), f32),
-            jax.ShapeDtypeStruct((8, w), f32),
-            jax.ShapeDtypeStruct((8, w), f32),
-            jax.ShapeDtypeStruct((8, w), f32),
+            sds((tp, w), x.dtype, x),
+            sds((w, hid), f32, x),
+            sds((hid, w), f32, x),
+            sds((8, hid), f32, x),
+            sds((8, w), f32, x),
+            sds((8, w), f32, x),
+            sds((8, w), f32, x),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=VMEM_LIMIT
@@ -272,6 +274,10 @@ def block_mlp(x, w1, b1, w2, b2, *, ln_scale, ln_bias, act: str = "quick_gelu",
     (align_clip/transformer.py:214-248). Disable with MMTPU_DISABLE_BLOCK_MLP=1 (A/B)."""
     if act not in ACTS:
         raise ValueError(f"act must be one of {ACTS}")
+    from multimodal_tpu.ops.pallas_util import match_vma
+
+    # shard_map check_vma: replicated weights must be pvaried to x's axes (no-op outside)
+    w1, b1, w2, b2, ln_scale, ln_bias = match_vma(x, w1, b1, w2, b2, ln_scale, ln_bias)
     shape = x.shape
     if x.ndim == 3:
         x = x.reshape(-1, shape[-1])

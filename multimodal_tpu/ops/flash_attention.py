@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_tpu.ops.pallas_util import sds
+
 BLOCK_Q = 128  # default q tile (sublane dimension of the MXU)
 BLOCK_K = 256  # default k tile; larger k blocks amortize per-program overhead
 LANES = 128
@@ -168,8 +170,8 @@ def _fwd(q, k, v, causal: bool, sm_scale: float, true_sk: int):
             pl.BlockSpec((1, 1, bq, LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq, LANES), jnp.float32),
+            sds((b, h, sq, d), q.dtype, q),
+            sds((b, h, sq, LANES), jnp.float32, q),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -314,7 +316,7 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
             row_spec,  # delta
         ],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=sds(q.shape, q.dtype, q),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -343,8 +345,8 @@ def _bwd(causal, sm_scale, true_sk, residuals, g):
         ],
         out_specs=[kv_spec, kv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            sds(k.shape, k.dtype, q),
+            sds(v.shape, v.dtype, q),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodal_tpu.ops.pallas_util import sds
+
 LANES = 128
 SUBLANE = 16
 # dispatch window, measured fwd+bwd on v5e @ B=256: below ~128 tokens XLA's saved-probs
@@ -136,9 +138,9 @@ def _call(kernel, n_out, q, k, v, *extra, heads, head_dim, true_s, causal, sm_sc
         in_specs=[spec] * (3 + len(extra)),
         out_specs=[spec] * n_out if n_out > 1 else spec,
         out_shape=(
-            [jax.ShapeDtypeStruct((b, sp, w), v.dtype)] * n_out
+            [sds((b, sp, w), v.dtype, v)] * n_out
             if n_out > 1
-            else jax.ShapeDtypeStruct((b, sp, w), v.dtype)
+            else sds((b, sp, w), v.dtype, v)
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -180,6 +182,9 @@ def fused_attention(q, k, v, *, heads: int, causal: bool = False,
     head_dim = w // heads
     if sm_scale is None:
         sm_scale = head_dim ** -0.5
+    from multimodal_tpu.ops.pallas_util import match_vma
+
+    k, v = match_vma(q, k, v)  # shard_map check_vma (cross-attention callers)
     sp = max(_round_up(s, SUBLANE), SUBLANE)
 
     def prep(x):

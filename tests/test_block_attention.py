@@ -414,3 +414,37 @@ def test_stream_pad_len_predicate(monkeypatch):
     assert stream_pad_len(256, 197, 768, 64) is None  # head_dim 12: kernel-unsupported
     monkeypatch.setenv("MMTPU_STREAM_PAD", "0")
     assert stream_pad_len(256, 197, 768, 12) is None
+
+
+def test_block_attention_inside_shard_map():
+    """Regression: under jax.shard_map's check_vma the pallas_call out_shape must carry
+    the input's varying-mesh-axes (ops/pallas_util.sds) — surfaced by the ring+shard_map
+    CLI train step on hardware (plain ShapeDtypeStruct is rejected at trace time)."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    b, s, w, heads = 8, 50, 256, 4
+    x, ws = _make_inputs(jax.random.PRNGKey(9), b, s, w, jnp.float32)
+    devices = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devices, ("data",))
+
+    def fn(x, *ws):
+        return block_attention(x, *ws, heads=heads, causal=False)
+
+    y = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data"),) + (P(),) * 8,
+        out_specs=P("data"),
+    ))(x, *ws)
+    want = _ref_block_attention(x, *ws, heads=heads, causal=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    # gradients through the shard_mapped kernel (the train-step path)
+    def loss(x, *ws):
+        return jnp.sum(jnp.sin(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("data"),) + (P(),) * 8, out_specs=P("data"),
+        )(x, *ws))) / b
+
+    g = jax.jit(jax.grad(loss))(x, *ws)
+    assert bool(jnp.all(jnp.isfinite(g)))
