@@ -139,8 +139,21 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
         if kv_len is not None and kv_len < s:
             keep = jnp.logical_and(keep, col < kv_len)
         logits = jnp.where(keep, logits, NEG_INF)
+    import os
+
+    if os.environ.get("MMTPU_BLOCK_ATTN_NOSOFTMAX"):
+        # TIMING PROBE ONLY (wrong numerics): bounds the softmax's share of kernel time
+        return logits * (1.0 / s)
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
+    if os.environ.get("MMTPU_BLOCK_ATTN_MXU_SUM"):
+        # A/B: the row-sum as a [H*S, S] @ [S, 128] ones matmul — moves the VPU lane
+        # reduction onto the (attention-idle) MXU; column 0 of the product is the sum
+        denom = jax.lax.dot_general(
+            p, jnp.ones((s, 128), p.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )[:, :1]
+        return p / denom
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
