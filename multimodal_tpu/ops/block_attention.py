@@ -111,7 +111,7 @@ def _ln_rows(x, gamma, beta, eps):
     return y * gamma.astype(x.dtype) + beta.astype(x.dtype)
 
 
-def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
+def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None, fwd=False):
     """All heads' softmax probabilities as ONE [H*S, S] f32 array: tiny per-head logit dots
     write into a stacked buffer so the 5-pass softmax runs vectorized once instead of H
     times (the per-head [S,S] softmaxes were the kernel's hot spot at S=50).
@@ -146,9 +146,14 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
         return logits * (1.0 / s)
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
-    if os.environ.get("MMTPU_BLOCK_ATTN_MXU_SUM"):
-        # A/B: the row-sum as a [H*S, S] @ [S, 128] ones matmul — moves the VPU lane
-        # reduction onto the (attention-idle) MXU; column 0 of the product is the sum
+    # MEASURED DEAD END, kept for A/B (MMTPU_BLOCK_ATTN_MXU_SUM=1): the softmax is 56%
+    # of the isolated forward kernel (NOSOFTMAX probe 0.661 -> 0.390 ms) and moving the
+    # row-sum onto the MXU as a [H*S,S]@[S,128] ones matmul measured -18% on the kernel
+    # alone — but -2.3% END TO END (B/32 back-to-back: 2467.9/2458.2 VPU vs
+    # 2416.5/2404.1 MXU): with the TensorCore at 100% occupancy the in-kernel VPU
+    # softmax overlaps the schedule's surrounding MXU work, and the ones-matmul steals
+    # exactly those contended cycles. The VPU sum stays the default both directions.
+    if os.environ.get("MMTPU_BLOCK_ATTN_MXU_SUM") == "1":
         denom = jax.lax.dot_general(
             p, jnp.ones((s, 128), p.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -160,7 +165,8 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
 def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
     """Per-image attention on [S, W]-packed heads; returns [S, W] pre-projection output."""
     s = q.shape[0]
-    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len).astype(q.dtype)
+    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len, fwd=True).astype(
+        q.dtype)
     outs = []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)

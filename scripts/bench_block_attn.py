@@ -44,24 +44,40 @@ def run_case(b, s, w, h, causal, steps=30, warmup=5, backward=True):
     mk = lambda *shape: jnp.asarray(rng.standard_normal(shape) * 0.02, dt)  # noqa: E731
     args = (x, mk(w, w), mk(w), mk(w, w), mk(w), mk(w, w), mk(w), mk(w, w), mk(w))
 
+    # CHAINED calls (each consumes the previous output) so the device cannot overlap or
+    # elide work, timed by bench.py's two-point method (subtracting a 1-step chain
+    # cancels the relay's dispatch+fetch round trip; only a host float() truly syncs).
     if backward:
-        def loss(*a):
-            return jnp.sum(block_attention(*a, heads=h, causal=causal).astype(jnp.float32))
+        def loss(x, *a):
+            return jnp.sum(block_attention(x, *a, heads=h, causal=causal).astype(jnp.float32))
 
-        f = jax.jit(jax.grad(loss, argnums=(0, 1, 3, 5, 7)))
+        g = jax.grad(loss)
+
+        @jax.jit
+        def f(x, *a):
+            return x + 1e-6 * g(x, *a)
     else:
-        f = jax.jit(lambda *a: block_attention(*a, heads=h, causal=causal))
+        @jax.jit
+        def f(x, *a):
+            return block_attention(x, *a, heads=h, causal=causal)
 
-    out = f(*args)
-    jax.block_until_ready(out)
-    # chained timing with one sync (axon relay: only host fetches synchronize)
-    t1 = time.perf_counter()
-    o = None
-    for _ in range(steps):
-        o = f(*args)
-    jax.block_until_ready(o)
-    dt_total = time.perf_counter() - t1
-    t_step = dt_total / steps
+    x0, rest = args[0], args[1:]
+
+    def chain(k):
+        x = x0
+        for _ in range(k):
+            x = f(x, *rest)
+        return float(jnp.sum(x[0, 0, :8].astype(jnp.float32)))
+
+    chain(1)  # compile + warm
+    est = []
+    for _ in range(3):
+        t0 = time.perf_counter(); chain(1); t1 = time.perf_counter()
+        chain(steps)
+        t2 = time.perf_counter()
+        est.append(max(((t2 - t1) - (t1 - t0)) / (steps - 1), 1e-9))
+    est.sort()
+    t_step = est[1]
     fl = attn_flops(b, s, w) * (3.0 if backward else 1.0)
     return t_step, fl / t_step / 1e12
 
