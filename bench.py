@@ -81,9 +81,10 @@ def main():
     # measured-best per-chip batch per model (docs/DESIGN.md batch-sensitivity notes):
     # B/16 peaks at 272 (+4% over 256; 320+ regresses under bwd-activation HBM pressure);
     # L/14 peaks at 96 (sweep 48..128: 237/240/243/243/241/224 — 128 hits the same cliff);
-    # H/14 peaks at 48 and g/14 at 16, both REQUIRING bf16 AdamW state on a 16 GB chip
-    # (f32 state OOMs H/14 at b48 and g/14 at any batch) — forced below
-    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96, "ViT-H-14": 48, "ViT-g-14": 16}
+    # H/14 peaks at 48 and g/14 at 24 (b16 61.1 / b24 64.8 / b32+remat 60.0), both
+    # REQUIRING bf16 AdamW state on a 16 GB chip (f32 state OOMs H/14 at b48 and g/14
+    # at any batch) — forced below
+    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96, "ViT-H-14": 48, "ViT-g-14": 24}
     batch = args.batch_size or (
         64 if args.quick else best_batch.get(args.model, 256)
     )

@@ -31,28 +31,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_multihost_name_broadcast():
-    url = f"tcp://localhost:{_free_port()}"
-    procs = []
-    for rank in range(2):
-        env = dict(os.environ)
-        env.update(
-            RANK=str(rank), WORLD_SIZE="2", JAX_PLATFORMS="cpu",
-            PALLAS_AXON_POOL_IPS="",
-        )
-        env.pop("XLA_FLAGS", None)  # one local CPU device per process
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", WORKER.format(repo=REPO, url=url)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        ))
-    outs = [p.communicate(timeout=240) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-2000:]
-    names = [l for out, _ in outs for l in out.splitlines() if l.startswith("NAME:")]
-    assert len(names) == 2
-    # rank 0's timestamped name was broadcast: both processes resolved identically
-    assert names[0] == names[1]
-    assert names[0].startswith("NAME:tiny-test-clip-")
+# (the name-broadcast check rides inside TRAIN_WORKER below: one 2-process
+# jax.distributed session instead of two — CI-latency item, round 3)
 
 
 TRAIN_WORKER = """
@@ -64,6 +44,12 @@ from multimodal_tpu.train.run import init_multihost
 
 init_multihost({url!r})
 assert jax.process_count() == 2
+from multimodal_tpu.train.run import resolve_experiment_name
+from multimodal_tpu.train.params import parse_args
+
+args = parse_args(["--dataset-type", "synthetic", "--model", "tiny-test",
+                   "--multihost", "--dist-url", {url!r}])
+print("NAME:" + resolve_experiment_name(args, jax.process_count()), flush=True)
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -136,6 +122,9 @@ def test_two_process_multihost_train_step():
     outs = [p.communicate(timeout=420) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
+    names = [l for out, _ in outs for l in out.splitlines() if l.startswith("NAME:")]
+    assert len(names) == 2 and names[0] == names[1]  # rank-0 name broadcast agreement
+    assert names[0].startswith("NAME:tiny-test-clip-")
     loss_lines = [l for out, _ in outs for l in out.splitlines()
                   if l.startswith("LOSSES:")]
     assert len(loss_lines) == 2
