@@ -84,7 +84,10 @@ def main():
     # H/14 peaks at 48 and g/14 at 24 (b16 61.1 / b24 64.8 / b32+remat 60.0), both
     # REQUIRING bf16 AdamW state on a 16 GB chip (f32 state OOMs H/14 at b48 and g/14
     # at any batch) — forced below
-    best_batch = {"ViT-B-16": 272, "ViT-L-14": 96, "ViT-H-14": 48, "ViT-g-14": 24}
+    # B/32 peaks at 320 (round-3 sweep: 256 -> 2456-2468, 288 -> 2452, 320 -> 2496-2511,
+    # 352 -> 2420, 384 -> 2503)
+    best_batch = {"ViT-B-32": 320, "ViT-B-16": 272, "ViT-L-14": 96,
+                  "ViT-H-14": 48, "ViT-g-14": 24}
     batch = args.batch_size or (
         64 if args.quick else best_batch.get(args.model, 256)
     )
