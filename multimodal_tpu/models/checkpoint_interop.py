@@ -205,26 +205,52 @@ def _check_tree_match(loaded, template, path=""):
 
 
 def load_pretrained(path: str, params_template, cfg: CLIPConfig):
-    """Load a checkpoint by format: orbax dir, or torch .pt/.pth/.bin via torch (CPU)."""
+    """Load a checkpoint by format: orbax dir, or torch .pt/.pth/.bin via torch (CPU).
+
+    When ``params_template`` carries LoRA adapter leaves (``lora_a``/``lora_b``, i.e.
+    the model was built with lora_rank > 0) the checkpoint is loaded against a
+    lora-free view of the template and the freshly initialized adapters are grafted
+    back on afterwards — no published/base checkpoint has adapter leaves, so matching
+    against the raw template would always fail (finetune.ipynb's get_peft_model path:
+    pretrained base + new adapters)."""
+    import flax.traverse_util as traverse_util
+
+    from multimodal_tpu.models.lora import is_lora_leaf
+
+    flat_template = traverse_util.flatten_dict(params_template, sep="/")
+    lora_leaves = {k: v for k, v in flat_template.items() if is_lora_leaf(k)}
+    base_template = params_template
+    if lora_leaves:
+        base_template = traverse_util.unflatten_dict(
+            {k: v for k, v in flat_template.items() if not is_lora_leaf(k)}, sep="/"
+        )
+
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
         restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), params_template
+            os.path.abspath(path), base_template
         )
-        return restored
-    import torch
+    else:
+        import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if hasattr(sd, "state_dict"):  # torchscript archive (clip.load format)
-        sd = sd.state_dict()
-    converted = convert_torch_state_dict(sd, cfg)
-    _check_tree_match(converted, params_template)
-    import jax
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):  # torchscript archive (clip.load format)
+            sd = sd.state_dict()
+        converted = convert_torch_state_dict(sd, cfg)
+        _check_tree_match(converted, base_template)
+        import jax
 
-    return jax.tree_util.tree_map(
-        lambda leaf, ref: np.asarray(leaf, np.asarray(ref).dtype), converted, params_template
-    )
+        restored = jax.tree_util.tree_map(
+            lambda leaf, ref: np.asarray(leaf, np.asarray(ref).dtype),
+            converted, base_template,
+        )
+
+    if lora_leaves:
+        flat = traverse_util.flatten_dict(restored, sep="/")
+        flat.update(lora_leaves)
+        restored = traverse_util.unflatten_dict(flat, sep="/")
+    return restored
 
 
 # --------------------------------------------------------------------------- export

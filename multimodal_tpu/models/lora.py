@@ -36,11 +36,23 @@ def lora_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def extract_lora(params) -> Dict[str, np.ndarray]:
+ALPHA_KEY = "__lora_alpha__"  # metadata entry in extracted adapter dicts
+
+
+def extract_lora(params, alpha: float | None = None, *, cfg=None) -> Dict[str, np.ndarray]:
     """Pull only the adapter leaves out of a param tree -> flat {path: array} dict
-    (the small thing worth checkpointing during a LoRA finetune)."""
+    (the small thing worth checkpointing during a LoRA finetune).
+
+    Records the finetune's ``alpha`` under ``ALPHA_KEY`` so a later merge_lora can't
+    silently use a wrong scale. Pass ``alpha=`` explicitly or ``cfg=`` (a CLIPConfig,
+    whose ``lora_alpha`` is read)."""
     flat = traverse_util.flatten_dict(params, sep="/")
-    return {k: np.asarray(v) for k, v in flat.items() if is_lora_leaf(k)}
+    out = {k: np.asarray(v) for k, v in flat.items() if is_lora_leaf(k)}
+    if alpha is None and cfg is not None:
+        alpha = float(cfg.lora_alpha)
+    if alpha is not None:
+        out[ALPHA_KEY] = np.float32(alpha)
+    return out
 
 def load_lora(params, adapters: Dict[str, np.ndarray]):
     """Re-attach extracted adapters to a param tree (shapes must match the model's
@@ -48,6 +60,8 @@ def load_lora(params, adapters: Dict[str, np.ndarray]):
     never load silently."""
     flat = traverse_util.flatten_dict(params, sep="/")
     for k, v in adapters.items():
+        if k == ALPHA_KEY:
+            continue
         if k not in flat:
             raise KeyError(f"adapter leaf {k!r} not present in the model (wrong rank/model?)")
         if tuple(flat[k].shape) != tuple(v.shape):
@@ -56,13 +70,31 @@ def load_lora(params, adapters: Dict[str, np.ndarray]):
     return traverse_util.unflatten_dict(flat, sep="/")
 
 
-def merge_lora(params, alpha: float = 16.0):
+def merge_lora(params, alpha: float | None = None, *, cfg=None,
+               adapters: Dict[str, np.ndarray] | None = None):
     """Fold every adapter pair into its kernel and DROP the lora leaves:
     kernel += (alpha / r) * lora_a @ lora_b  (r = lora_a.shape[1]).
 
     The result is loadable by the same architecture with lora_rank=0 — the
     ``merge_and_unload`` deployment path. ``alpha`` must match the finetune's
-    --lora-alpha (the model applies the same scale at apply time)."""
+    --lora-alpha; supply it one of three ways: explicitly, via ``cfg=`` (CLIPConfig,
+    reads ``lora_alpha``), or via ``adapters=`` (an extract_lora dict carrying
+    ALPHA_KEY). Sources that disagree raise rather than merge wrongly."""
+    sources = {"alpha": alpha}
+    if cfg is not None:
+        sources["cfg.lora_alpha"] = float(cfg.lora_alpha)
+    if adapters is not None and ALPHA_KEY in adapters:
+        sources[f"adapters[{ALPHA_KEY}]"] = float(adapters[ALPHA_KEY])
+    given = {k: v for k, v in sources.items() if v is not None}
+    if not given:
+        raise ValueError(
+            "merge_lora needs the finetune's alpha: pass alpha=, cfg=, or an "
+            "extract_lora(..., alpha=...) dict via adapters="
+        )
+    vals = set(float(v) for v in given.values())
+    if len(vals) > 1:
+        raise ValueError(f"conflicting lora alpha values: {given}")
+    alpha = vals.pop()
     flat = traverse_util.flatten_dict(params, sep="/")
     out = {}
     for k, v in flat.items():

@@ -1,4 +1,4 @@
-"""Whole-block attention for SHORT sequences (S <= 128), Pallas TPU.
+"""Whole-block attention for short-to-medium sequences (S <= MAX_BLOCK_SEQ = 320), Pallas TPU.
 
 The CLIP encoder regime (vision S=50, text S=77 @ B=256) spends more time moving data than
 multiplying it: XLA's attention relayouts q/k/v to head-major ([B,S,W] copies), writes the
@@ -111,7 +111,7 @@ def _ln_rows(x, gamma, beta, eps):
     return y * gamma.astype(x.dtype) + beta.astype(x.dtype)
 
 
-def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None, fwd=False):
+def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None):
     """All heads' softmax probabilities as ONE [H*S, S] f32 array: tiny per-head logit dots
     write into a stacked buffer so the 5-pass softmax runs vectorized once instead of H
     times (the per-head [S,S] softmaxes were the kernel's hot spot at S=50).
@@ -165,8 +165,7 @@ def _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len=None, fwd=False)
 def _attend(q, k, v, heads, head_dim, scale, causal, kv_len=None):
     """Per-image attention on [S, W]-packed heads; returns [S, W] pre-projection output."""
     s = q.shape[0]
-    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len, fwd=True).astype(
-        q.dtype)
+    p = _stacked_probs(q, k, heads, head_dim, scale, causal, kv_len).astype(q.dtype)
     outs = []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)

@@ -57,11 +57,12 @@ class SkipIfNonfiniteState(NamedTuple):
 
 
 def _find_grad_norm(state_tree):
-    """Locate the ClipAndSkipState norm inside a (possibly nested) optax state tree."""
+    """Locate a grad-norm-carrying state (ClipAndSkipState or FusedAdamWState) inside a
+    (possibly nested) optax state tree — e.g. under optax.MaskedState for freeze modes."""
     found = []
 
     def visit(node):
-        if isinstance(node, ClipAndSkipState):
+        if isinstance(node, (ClipAndSkipState, FusedAdamWState)):
             found.append(node.grad_norm)
         elif isinstance(node, tuple):
             for child in node:
@@ -252,6 +253,14 @@ def make_optimizer(
     trust-ratio optimizers 'lamb' / 'lars' (beyond reference) — the standard choices
     when the global contrastive batch grows past what AdamW's LR tolerates; both reuse
     the gain/bias weight-decay exclusion mask and the clip/skip-nonfinite wrappers."""
+    if jnp.dtype(state_dtype) != jnp.float32 and (opt != "adamw" or not fused):
+        # only fused_adamw stores reduced-precision moments; anything else would keep
+        # f32 state while the user believes they halved optimizer HBM — refuse loudly
+        raise ValueError(
+            f"--opt-state-dtype {jnp.dtype(state_dtype).name} is only honored by the "
+            f"fused adamw path (got opt={opt!r}, fused={fused}); drop the flag or use "
+            "the default optimizer"
+        )
     if opt in ("lamb", "lars"):
         inner = (
             optax.lamb(learning_rate=schedule, b1=beta1, b2=beta2, eps=eps,

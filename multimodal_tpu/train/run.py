@@ -158,6 +158,19 @@ def _finetune_mask(params, mode: str):
     return optax.masked, mask
 
 
+def freeze_optimizer(tx, mask):
+    """Freeze-mode optimizer assembly: the full optimizer runs under optax.masked on the
+    trainable leaves only (the global grad-clip norm and non-finite skip see just those
+    gradients — torch clip_grad_norm_ skips grad-None frozen params the same way, and no
+    optimizer moments are allocated for frozen leaves, which for a LoRA finetune is the
+    entire adapter-only memory benefit), chained with a masked set_to_zero that drops the
+    raw gradients optax.masked would otherwise pass through to the frozen leaves."""
+    import optax
+
+    inv = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(optax.masked(tx, mask), optax.masked(optax.set_to_zero(), inv))
+
+
 def init_multihost(dist_url: str | None = None) -> None:
     """jax.distributed bootstrap (main/distributed.py:63-137 init_distributed_device):
     an explicit ``tcp://host:port`` coordinator with the reference's RANK/WORLD_SIZE env
@@ -784,29 +797,20 @@ def main(argv=None):
         opt=args.opt, state_dtype=jnp.dtype(args.opt_state_dtype),
     )
     if args.lora_rank:
-        import optax
-
         masked, mask = _finetune_mask(params, "lora")
-        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
-            lambda m: not m, mask)))
+        tx = freeze_optimizer(tx, mask)
     elif args.train_projections_only or args.freeze_backbone:
-        import optax
-
         masked, mask = _finetune_mask(
             params, "heads" if args.freeze_backbone else "projections")
-        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
-            lambda m: not m, mask)))
+        tx = freeze_optimizer(tx, mask)
     elif args.lock_image or args.lock_text:
-        import optax
-
         masked, mask = _freeze_mask(
             params, args.lock_image, args.lock_text,
             unlocked_image_groups=args.lock_image_unlocked_groups,
             unlocked_text_layers=args.lock_text_unlocked_layers,
             freeze_layer_norm=args.lock_text_freeze_layer_norm,
         )
-        tx = optax.chain(tx, masked(optax.set_to_zero(), jax.tree_util.tree_map(
-            lambda m: not m, mask)))
+        tx = freeze_optimizer(tx, mask)
 
     state = TrainState.create(params, tx, ema=args.model_ema)
     state_shardings = None

@@ -63,36 +63,44 @@ class Block(nn.Module):
 
 
 class TorchCLIP(nn.Module):
-    def __init__(self):
+    """OpenAI-CLIP-architecture twin, dimension-parameterized: the tiny defaults drive the
+    fast parity tests; real ViT-B/32 dimensions (vision 768×12, text 512×12, vocab 49408)
+    drive the full-size production-shape gate below."""
+
+    def __init__(self, vision_width=WIDTH, vision_layers=LAYERS, vision_heads=HEADS,
+                 image_size=IMG, patch=PATCH, text_width=WIDTH, text_layers=LAYERS,
+                 text_heads=HEADS, ctx=CTX, vocab=VOCAB, embed=EMBED):
         super().__init__()
-        scale = WIDTH ** -0.5
-        grid = IMG // PATCH
+        vscale = vision_width ** -0.5
+        tscale = text_width ** -0.5
+        grid = image_size // patch
+        self.ctx = ctx
 
         class Visual(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.conv1 = nn.Conv2d(3, WIDTH, PATCH, PATCH, bias=False)
-                self.class_embedding = nn.Parameter(scale * torch.randn(WIDTH))
+                self.conv1 = nn.Conv2d(3, vision_width, patch, patch, bias=False)
+                self.class_embedding = nn.Parameter(vscale * torch.randn(vision_width))
                 self.positional_embedding = nn.Parameter(
-                    scale * torch.randn(grid * grid + 1, WIDTH)
+                    vscale * torch.randn(grid * grid + 1, vision_width)
                 )
-                self.ln_pre = nn.LayerNorm(WIDTH)
+                self.ln_pre = nn.LayerNorm(vision_width)
                 self.transformer = nn.Module()
                 self.transformer.resblocks = nn.ModuleList(
-                    Block(WIDTH, HEADS) for _ in range(LAYERS)
+                    Block(vision_width, vision_heads) for _ in range(vision_layers)
                 )
-                self.ln_post = nn.LayerNorm(WIDTH)
-                self.proj = nn.Parameter(scale * torch.randn(WIDTH, EMBED))
+                self.ln_post = nn.LayerNorm(vision_width)
+                self.proj = nn.Parameter(vscale * torch.randn(vision_width, embed))
 
         self.visual = Visual()
         self.transformer = nn.Module()
         self.transformer.resblocks = nn.ModuleList(
-            Block(WIDTH, HEADS) for _ in range(LAYERS)
+            Block(text_width, text_heads) for _ in range(text_layers)
         )
-        self.token_embedding = nn.Embedding(VOCAB, WIDTH)
-        self.positional_embedding = nn.Parameter(0.01 * torch.randn(CTX, WIDTH))
-        self.ln_final = nn.LayerNorm(WIDTH)
-        self.text_projection = nn.Parameter(scale * torch.randn(WIDTH, EMBED))
+        self.token_embedding = nn.Embedding(vocab, text_width)
+        self.positional_embedding = nn.Parameter(0.01 * torch.randn(ctx, text_width))
+        self.ln_final = nn.LayerNorm(text_width)
+        self.text_projection = nn.Parameter(tscale * torch.randn(text_width, embed))
         self.logit_scale = nn.Parameter(torch.tensor(2.6592))
 
     def encode_image(self, images):  # images NCHW
@@ -108,7 +116,7 @@ class TorchCLIP(nn.Module):
 
     def encode_text(self, tokens):
         x = self.token_embedding(tokens) + self.positional_embedding
-        mask = torch.full((CTX, CTX), float("-inf")).triu(1)
+        mask = torch.full((self.ctx, self.ctx), float("-inf")).triu(1)
         x = x.permute(1, 0, 2)
         for blk in self.transformer.resblocks:
             x = blk(x, attn_mask=mask)
@@ -223,3 +231,70 @@ def test_export_round_trip_shared_trunk():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x, np.float32), y, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_full_size_vitb32_interop(tmp_path):
+    """Production-shape golden gate: a REAL-dimension ViT-B/32 torch twin (49,408-row
+    token embedding, 768-wide fused in_proj split, 50-token vision pos grid, separate
+    512-wide text tower) saved as a .pt and loaded through load_pretrained must
+    reproduce both towers' embeddings; the same checkpoint then loads into a 256-px
+    template, exercising resize_pos_embed on the real 7x7 -> 8x8 grid
+    (align_clip/model.py:311-343, Models/clipModel.py:17)."""
+    from multimodal_tpu.models.checkpoint_interop import load_pretrained
+
+    torch.manual_seed(7)
+    tm = TorchCLIP(
+        vision_width=768, vision_layers=12, vision_heads=12, image_size=224, patch=32,
+        text_width=512, text_layers=12, text_heads=8, ctx=77, vocab=49408, embed=512,
+    ).eval()
+    pt = tmp_path / "vitb32_random.pt"
+    torch.save(tm.state_dict(), pt)
+
+    jm = create_model("ViT-B-32")
+    params = load_pretrained(str(pt), jax.tree_util.tree_map(np.asarray, init_params(jm)),
+                             jm.cfg)
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    tokens = np.zeros((2, 77), np.int64)
+    tokens[:, 0] = 49406
+    tokens[0, 1:6] = rng.integers(1, 49000, 5)
+    tokens[0, 6] = 49407
+    tokens[1, 1:11] = rng.integers(1, 49000, 10)
+    tokens[1, 11] = 49407
+
+    with torch.no_grad():
+        t_img = tm.encode_image(torch.from_numpy(images).permute(0, 3, 1, 2)).numpy()
+        t_txt = tm.encode_text(torch.from_numpy(tokens)).numpy()
+
+    j_img = np.asarray(jm.apply(params, jnp.asarray(images), method=jm.encode_image))
+    j_txt = np.asarray(jm.apply(params, jnp.asarray(tokens), method=jm.encode_text))
+    # 12 layers of f32 accumulation on different backends: compare to ~1e-3 absolute
+    # on O(1)-magnitude embeddings (the tiny twin pins the exact mapping at 1e-5)
+    np.testing.assert_allclose(j_img, t_img, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(j_txt, t_txt, rtol=2e-3, atol=2e-3)
+
+    # same checkpoint into a 256-px model: pos grid 50 -> 65 via bicubic resize on load
+    add_model_config(
+        "vitb32-i256-test",
+        {
+            "embed_dim": 512,
+            "vision_cfg": {"image_size": 256, "patch_size": 32, "width": 768,
+                           "layers": 12, "heads": 12},
+            "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
+                         "layers": 12, "heads": 8},
+        },
+    )
+    jm256 = create_model("vitb32-i256-test")
+    params256 = load_pretrained(
+        str(pt), jax.tree_util.tree_map(np.asarray, init_params(jm256)), jm256.cfg)
+    pos = params256["params"]["visual_stem"]["positional_embedding"]
+    assert pos.shape == (65, 768)
+    # CLS row passes through the resize untouched
+    np.testing.assert_allclose(
+        np.asarray(pos[0]), tm.visual.positional_embedding.detach().numpy()[0], atol=1e-6)
+    out256 = jm256.apply(
+        params256, jnp.asarray(rng.standard_normal((1, 256, 256, 3)).astype(np.float32)),
+        method=jm256.encode_image)
+    assert np.isfinite(np.asarray(out256)).all()
