@@ -40,7 +40,7 @@ class LlamaCaptioner:
     def project(self, clip_embeds) -> np.ndarray:
         """JAX-side projection: [B, clip_dim] -> [B, 1, hidden] soft prefix."""
         out = jnp.asarray(clip_embeds, jnp.float32) @ jnp.asarray(self.projection)
-        return np.asarray(out)[:, None, :]
+        return np.array(out)[:, None, :]  # fresh writable copy (torch.from_numpy target)
 
     def generate_caption(self, clip_embeds, prompt: str = "A photo of") -> list[str]:
         """Prefix embedding + prompt tokens -> generate (llamaCaptioner:72-114)."""
