@@ -72,6 +72,8 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     parser.add_argument("--remat", action="store_true",
                         help="per-block rematerialization (A/B for HBM-bound configs)")
+    parser.add_argument("--int8", action="store_true",
+                        help="SwitchBack int8 MLP GEMMs (--precision int8 A/B)")
     parser.add_argument("--opt-state-dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="AdamW moment dtype; default f32 except H/14 and g/14 "
@@ -142,7 +144,8 @@ def main():
     print(f"[bench] platform={dev.platform} kind={dev.device_kind} "
           f"n_devices={len(jax.devices())} batch={batch} steps={steps}", file=sys.stderr)
 
-    model = create_model(args.model, dtype=jnp.bfloat16, remat=args.remat or None)
+    model = create_model(args.model, dtype=jnp.bfloat16, remat=args.remat or None,
+                         int8_forward=args.int8)
     params = init_params(model)
     tx = make_optimizer(
         make_schedule("cosine", 1e-3, warmup_steps=100, total_steps=10000),

@@ -255,6 +255,7 @@ class CLIP(nn.Module):
                 scale_heads=c.vision.scale_heads,
                 lora_rank=c.lora_rank,
                 lora_alpha=c.lora_alpha,
+                int8_fwd=c.int8_forward,
                 name="transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -282,6 +283,7 @@ class CLIP(nn.Module):
                 moe_capacity_factor=c.vision.moe_capacity_factor,
                 lora_rank=c.lora_rank,
                 lora_alpha=c.lora_alpha,
+                int8_fwd=c.int8_forward,
                 name="visual_transformer",
             )
             self.text_trunk = Transformer(
@@ -296,6 +298,7 @@ class CLIP(nn.Module):
                 ls_init_value=c.text.ls_init_value,
                 lora_rank=c.lora_rank,
                 lora_alpha=c.lora_alpha,
+                int8_fwd=c.int8_forward,
                 name="text_transformer",
             )
             self.ln_post = LayerNorm(name="ln_post")
@@ -408,6 +411,7 @@ class VariationalCLIP(nn.Module):
             act=_resolve_act(c.act),
             lora_rank=c.lora_rank,
             lora_alpha=c.lora_alpha,
+            int8_fwd=c.int8_forward,
             name="visual_transformer",
         )
         # text trunk is causal over context_length + 1 (mask rebuilt for the extra token,
@@ -423,6 +427,7 @@ class VariationalCLIP(nn.Module):
             act=_resolve_act(c.act),
             lora_rank=c.lora_rank,
             lora_alpha=c.lora_alpha,
+            int8_fwd=c.int8_forward,
             name="text_transformer",
         )
         self.ln_post = LayerNorm(name="ln_post")

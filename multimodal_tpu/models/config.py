@@ -69,6 +69,11 @@ class CLIPConfig:
     # train only the adapters via train.run --lora-rank (optax.masked on 'lora_' leaves).
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # SwitchBack int8 training GEMMs in every trunk MLP (fwd + input-grad on the 2x-rate
+    # int8 MXU, weight-grad bf16/f32; ops/quant.py:int8_dense_train). The TPU-native
+    # extension of the reference's precision axis (AlignCLIP/main/params.py:218);
+    # enable via --precision int8.
+    int8_forward: bool = False
 
     def __post_init__(self):
         if self.share_trunk:

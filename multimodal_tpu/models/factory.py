@@ -30,12 +30,15 @@ def create_model(
     siglip: bool = False,
     lora_rank: Optional[int] = None,
     lora_alpha: Optional[float] = None,
+    int8_forward: bool = False,
 ):
     import dataclasses
 
     cfg = get_model_config(name)
     if remat is not None:
         cfg = dataclasses.replace(cfg, remat=remat)
+    if int8_forward:  # --precision int8: SwitchBack int8 MLP GEMMs (ops/quant.py)
+        cfg = dataclasses.replace(cfg, int8_forward=True)
     if lora_rank:  # PEFT LoRA adapters on every trunk projection (finetune.ipynb:cell 12)
         cfg = dataclasses.replace(
             cfg, lora_rank=lora_rank, lora_alpha=lora_alpha or cfg.lora_alpha

@@ -148,6 +148,7 @@ class MLP(nn.Module):
     depth: int = 12  # total transformer depth, for the residual-branch init scaling
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    int8_fwd: bool = False  # SwitchBack int8 GEMMs (fwd + dx) — ops/quant.py
 
     @nn.compact
     def __call__(self, x, ln_params=None, residual: bool = False):
@@ -182,6 +183,7 @@ class MLP(nn.Module):
         use_kernel = (
             ln_params is not None
             and act_name is not None
+            and not self.int8_fwd  # the fused bf16 kernel would bypass the int8 GEMMs
             and jax.devices()[0].platform == "tpu"
             and os.environ.get("MMTPU_BLOCK_MLP") == "1"
         )
@@ -201,8 +203,14 @@ class MLP(nn.Module):
             from multimodal_tpu.ops.block_attention import _ln_rows
 
             x = _ln_rows(x, ln_params[0], ln_params[1], 1e-5)
-        h = x @ w1.astype(self.dtype) + b1.astype(self.dtype)
-        y = self.act(h) @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        if self.int8_fwd:
+            from multimodal_tpu.ops.quant import int8_dense_train
+
+            h = int8_dense_train(x, w1) + b1.astype(self.dtype)
+            y = int8_dense_train(self.act(h), w2) + b2.astype(self.dtype)
+        else:
+            h = x @ w1.astype(self.dtype) + b1.astype(self.dtype)
+            y = self.act(h) @ w2.astype(self.dtype) + b2.astype(self.dtype)
         return x_in + y if residual else y
 
 
@@ -384,6 +392,7 @@ class ResidualBlock(nn.Module):
     moe_capacity_factor: float = 1.25
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    int8_fwd: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
@@ -440,6 +449,7 @@ class ResidualBlock(nn.Module):
                 depth=self.depth,
                 lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
+                int8_fwd=self.int8_fwd,
                 name="mlp",
             )
             if self.ls_init_value is None:
@@ -476,6 +486,7 @@ class Transformer(nn.Module):
     moe_capacity_factor: float = 1.25
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    int8_fwd: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, causal: bool = False, kv_len: int | None = None):
@@ -502,6 +513,7 @@ class Transformer(nn.Module):
                 moe_capacity_factor=self.moe_capacity_factor,
                 lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
+                int8_fwd=self.int8_fwd,
                 name=f"resblock_{i}",
             )(x, mask, causal, kv_len)
         return x

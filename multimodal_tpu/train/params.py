@@ -98,10 +98,12 @@ def parse_args(args=None):
     g.add_argument("--pretrained", default="", help="checkpoint path (torch .pt or orbax dir)")
     g.add_argument("--precision",
                    choices=["amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16", "pure_bf16",
-                            "pure_fp16", "fp32"],
+                            "pure_fp16", "fp32", "int8"],
                    default="amp_bf16",
                    help="TPU mapping: every amp/bf16 mode = bf16 compute + f32 params; "
-                        "fp32 = full f32 (params.py:218 had 8 CUDA modes)")
+                        "fp32 = full f32 (params.py:218 had 8 CUDA modes); int8 = bf16 "
+                        "plus SwitchBack int8 MLP GEMMs (fwd + input-grad) on the "
+                        "2x-rate int8 MXU")
     g.add_argument("--force-image-size", type=int, default=None)
     g.add_argument("--force-patch-dropout", type=float, default=None,
                    help="FLIP-style patch token dropout rate at train time")

@@ -693,6 +693,7 @@ def main(argv=None):
         siglip=args.loss == "siglip",
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        int8_forward=args.precision == "int8",
     )
     params = init_params(model, jax.random.PRNGKey(args.seed))
     if args.pretrained:

@@ -143,3 +143,64 @@ def test_quantized_gelu_and_gap_configs_track_f32():
     ft = np.asarray(model.apply(params, images, tokens)["text_features"])
     assert np.min(_cosine(fi_q, fi)) > 0.99
     assert np.min(_cosine(ft_q, ft)) > 0.99
+
+
+def test_int8_dense_train_forward_tracks_matmul():
+    """SwitchBack training GEMM (ops/quant.py:int8_dense_train): forward tracks the exact
+    product within dynamic-int8 error; both grads flow and track the exact VJP."""
+    import jax
+
+    from multimodal_tpu.ops.quant import int8_dense_train
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(6, 48, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 96)) * 0.05, jnp.float32)
+
+    y = np.asarray(int8_dense_train(x, w))
+    y_ref = np.asarray(x @ w)
+    denom = np.maximum(np.abs(y_ref), 1e-3)
+    assert np.median(np.abs(y - y_ref) / denom) < 0.02
+    assert np.min(_cosine(y.reshape(-1, 96), y_ref.reshape(-1, 96))) > 0.999
+
+    def loss_q(x, w):
+        return jnp.sum(jnp.sin(int8_dense_train(x, w)))
+
+    def loss_f(x, w):
+        return jnp.sum(jnp.sin(x @ w))
+
+    gq = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    # dx runs on the int8 path (approximate); dw is full precision against the int8
+    # forward's sin' weighting — both should align direction-wise with the exact VJP
+    for a, b, name in zip(gq, gf, ("dx", "dw")):
+        cos = _cosine(np.asarray(a).reshape(1, -1), np.asarray(b).reshape(1, -1))
+        assert cos.min() > 0.99, f"{name} diverged from the exact VJP (cos={cos.min()})"
+
+
+def test_int8_forward_training_step_learns():
+    """--precision int8 end to end: a tiny model trains under the SwitchBack GEMMs —
+    loss finite every step and decreasing over a short rerun of the same batch."""
+    import jax
+
+    from multimodal_tpu.train import TrainState, make_optimizer, make_train_step
+
+    model = create_model("tiny-test", int8_forward=True)
+    assert model.cfg.int8_forward
+    params = init_params(model)
+    tx = make_optimizer(1e-3, weight_decay=0.0, grad_clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, loss_type="clip", donate=False)
+    c = model.cfg
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(
+            rng, (8, c.vision.image_size, c.vision.image_size, 3)),
+        "text": jax.random.randint(rng, (8, c.text.context_length), 1,
+                                   c.text.vocab_size - 1),
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], f"no learning under int8 GEMMs: {losses}"
