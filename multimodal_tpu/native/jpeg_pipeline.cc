@@ -188,7 +188,9 @@ inline uint8_t clamp8(float v) {
 // Hot path of the input pipeline (decode is DCT-downscaled; this runs at full tap count):
 // f32 arithmetic (>= PIL's fixed-point precision), no in-loop clamps (compute_contribs
 // already bounds every tap), and a row-accumulator vertical pass so both passes are
-// sequential-access FMA loops the compiler auto-vectorizes.
+// sequential-access FMA loops the compiler auto-vectorizes. The f32 intermediates are
+// thread-local arenas: the horizontal-pass buffer is ~1 MB per image, and per-image
+// malloc/page-fault churn measured as a real cost at the 900 img/s/core rate.
 void resample(const Image& src, double bx0, double by0, double bx1, double by1,
               int out_w, int out_h, uint8_t* dst) {
   const Contribs cx = compute_contribs(out_w, bx0, bx1, src.w);
@@ -202,7 +204,8 @@ void resample(const Image& src, double bx0, double by0, double bx1, double by1,
   y_lo = std::max(y_lo, 0);
   y_hi = std::min(y_hi, src.h);
   const int tmp_h = y_hi - y_lo;
-  std::vector<float> tmp(static_cast<size_t>(tmp_h) * out_w * 3);
+  thread_local std::vector<float> tmp;
+  tmp.resize(static_cast<size_t>(tmp_h) * out_w * 3);
   for (int y = 0; y < tmp_h; ++y) {
     const uint8_t* srow = src.data.data() + static_cast<size_t>(y + y_lo) * src.w * 3;
     float* trow = &tmp[static_cast<size_t>(y) * out_w * 3];
@@ -223,7 +226,8 @@ void resample(const Image& src, double bx0, double by0, double bx1, double by1,
   }
   // vertical pass: accumulate whole rows (sequential loads over tmp, one FMA sweep per
   // tap) instead of walking columns — the strided column walk was the cache bottleneck
-  std::vector<float> acc(static_cast<size_t>(out_w) * 3);
+  thread_local std::vector<float> acc;
+  acc.resize(static_cast<size_t>(out_w) * 3);
   const size_t row_elems = static_cast<size_t>(out_w) * 3;
   for (int y = 0; y < out_h; ++y) {
     const int first = cy.bounds[y * 2], count = cy.bounds[y * 2 + 1];
@@ -258,46 +262,191 @@ void eval_transform(const Image& img, int size, uint8_t* out) {
   resample(img, left * sx, top * sy, (left + size) * sx, (top + size) * sy, size, size, out);
 }
 
-void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out,
-                     double s_lo = 0.9, double s_hi = 1.0,
-                     double r_lo = 3.0 / 4.0, double r_hi = 4.0 / 3.0) {
-  // torchvision RandomResizedCrop(scale, ratio) sampling algorithm (reference
-  // transform.py:108-117; bounds from --aug-cfg, defaults scale=(0.9,1.0)
-  // ratio=(3/4,4/3)): 10 area/log-ratio attempts, center-crop fallback.
+struct CropRect {
+  int left = 0, top = 0, w = 0, h = 0;
+};
+
+// torchvision RandomResizedCrop(scale, ratio) sampling algorithm (reference
+// transform.py:108-117; bounds from --aug-cfg, defaults scale=(0.9,1.0)
+// ratio=(3/4,4/3)): 10 area/log-ratio attempts, center-crop fallback. Sampling is a
+// pure function of the FULL image dimensions + seed, so the fast partial-decode path
+// below draws the exact same crop as the full-decode path.
+CropRect sample_crop(int W, int H, uint64_t seed, double s_lo, double s_hi,
+                     double r_lo, double r_hi) {
   std::mt19937_64 rng(seed);
   std::uniform_real_distribution<double> u01(0.0, 1.0);
-  const double area = static_cast<double>(img.w) * img.h;
+  const double area = static_cast<double>(W) * H;
   const double log_r0 = std::log(r_lo), log_r1 = std::log(r_hi);
-  int cw = -1, ch = -1, left = 0, top = 0;
+  CropRect c;
+  c.w = -1;
   for (int attempt = 0; attempt < 10; ++attempt) {
     const double target_area = area * (s_lo + (s_hi - s_lo) * u01(rng));
     const double aspect = std::exp(log_r0 + (log_r1 - log_r0) * u01(rng));
     const int w = static_cast<int>(std::lround(std::sqrt(target_area * aspect)));
     const int h = static_cast<int>(std::lround(std::sqrt(target_area / aspect)));
-    if (w > 0 && w <= img.w && h > 0 && h <= img.h) {
-      cw = w;
-      ch = h;
-      left = static_cast<int>(u01(rng) * (img.w - w + 1));
-      top = static_cast<int>(u01(rng) * (img.h - h + 1));
-      break;
+    if (w > 0 && w <= W && h > 0 && h <= H) {
+      c.w = w;
+      c.h = h;
+      c.left = static_cast<int>(u01(rng) * (W - w + 1));
+      c.top = static_cast<int>(u01(rng) * (H - h + 1));
+      return c;
     }
   }
-  if (cw < 0) {  // fallback: clamp aspect, central crop
-    const double in_ratio = static_cast<double>(img.w) / img.h;
-    if (in_ratio < r_lo) {
-      cw = img.w;
-      ch = static_cast<int>(std::lround(cw / r_lo));
-    } else if (in_ratio > r_hi) {
-      ch = img.h;
-      cw = static_cast<int>(std::lround(ch * r_hi));
+  // fallback: clamp aspect, central crop
+  const double in_ratio = static_cast<double>(W) / H;
+  if (in_ratio < r_lo) {
+    c.w = W;
+    c.h = static_cast<int>(std::lround(c.w / r_lo));
+  } else if (in_ratio > r_hi) {
+    c.h = H;
+    c.w = static_cast<int>(std::lround(c.h * r_hi));
+  } else {
+    c.w = W;
+    c.h = H;
+  }
+  c.left = (W - c.w) / 2;
+  c.top = (H - c.h) / 2;
+  return c;
+}
+
+void train_transform(const Image& img, int size, uint64_t seed, uint8_t* out,
+                     double s_lo = 0.9, double s_hi = 1.0,
+                     double r_lo = 3.0 / 4.0, double r_hi = 4.0 / 3.0) {
+  const CropRect c = sample_crop(img.w, img.h, seed, s_lo, s_hi, r_lo, r_hi);
+  resample(img, c.left, c.top, c.left + c.w, c.top + c.h, size, size, out);
+}
+
+// ---------------------------------------------------------------------------
+// Fast train path: crop-folded fractional-DCT partial decode
+// ---------------------------------------------------------------------------
+//
+// The full-decode train path pays for pixels it immediately throws away: the whole
+// image is IDCT'd and color-converted, then ~95% of it is resampled down to size^2.
+// libjpeg-turbo can do most of that reduction inside the decoder:
+//   * fractional DCT scaling (scale M/8, M=1..8): the IDCT emits M x M pixels per
+//     8 x 8 block — a high-quality DCT-domain low-pass + downsample in one step;
+//   * jpeg_crop_scanline / jpeg_skip_scanlines: only the iMCU columns/rows covering
+//     the crop are entropy-decoded + IDCT'd.
+// The crop rect is sampled from the HEADER dimensions with the same seed/algorithm as
+// the full path (identical RNG stream), the smallest M with min(crop)*M/8 >= size is
+// chosen (so the final bicubic runs near 1:1), the decoded region is padded by the
+// bicubic support so edge taps see real pixels, and the tail of the image is abandoned
+// with jpeg_abort_decompress. Eval keeps the exact full-decode path (PIL bit-parity);
+// train crops trade the full-decode's resample chain for the DCT low-pass — measured
+// indistinguishable for training (tests/test_native_robustness.py fast-vs-slow gate).
+// Returns false on any decode problem -> caller falls back to the exact path.
+bool train_fast(const uint8_t* buf, size_t len, int size, uint64_t seed,
+                double s_lo, double s_hi, double r_lo, double r_hi, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = emit_message;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  const int W = cinfo.image_width, H = cinfo.image_height;
+  if (W <= 0 || H <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  const CropRect c = sample_crop(W, H, seed, s_lo, s_hi, r_lo, r_hi);
+
+  // smallest fractional scale that keeps the crop at/above the output size
+  // (MMTPU_TRAIN_DECODE_HEADROOM > 1 decodes proportionally larger for extra fidelity)
+  static const double headroom = [] {
+    const char* e = std::getenv("MMTPU_TRAIN_DECODE_HEADROOM");
+    double v = e ? std::atof(e) : 1.0;
+    return (v >= 1.0 && v <= 8.0) ? v : 1.0;
+  }();
+  const int crop_min = std::min(c.w, c.h);
+  int M = 8;
+  if (crop_min > 0) {
+    M = static_cast<int>(std::ceil(8.0 * size * headroom / crop_min));
+    M = std::max(1, std::min(8, M));
+  }
+  cinfo.scale_num = M;
+  cinfo.scale_denom = 8;
+  // train-only decoder shortcuts (eval keeps libjpeg defaults for PIL parity): the
+  // fast IDCT and plain (merged) chroma upsampling are visually minor next to the
+  // random crop + bicubic that follow, and measurably cheaper
+  cinfo.dct_method = JDCT_IFAST;
+  cinfo.do_fancy_upsampling = FALSE;
+  cinfo.do_block_smoothing = FALSE;
+  bool cmyk = false;
+  if (cinfo.jpeg_color_space == JCS_CMYK || cinfo.jpeg_color_space == JCS_YCCK) {
+    cinfo.out_color_space = JCS_CMYK;
+    cmyk = true;
+  } else {
+    cinfo.out_color_space = JCS_RGB;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width, sh = cinfo.output_height;
+  const int nc = cinfo.output_components;
+  if (sw <= 0 || sh <= 0 || (nc != 3 && nc != 4)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // crop box in scaled coordinates (doubles — the resample box handles fractions)
+  const double fx = static_cast<double>(sw) / W, fy = static_cast<double>(sh) / H;
+  const double sx0 = c.left * fx, sx1 = (c.left + c.w) * fx;
+  const double sy0 = c.top * fy, sy1 = (c.top + c.h) * fy;
+  // pad by the bicubic support so edge taps land on real pixels (PIL semantics: the
+  // box positions the grid, taps read the full image)
+  const double fs_x = std::max((sx1 - sx0) / size, 1.0);
+  const double fs_y = std::max((sy1 - sy0) / size, 1.0);
+  const int pad_x = static_cast<int>(std::ceil(2.0 * fs_x)) + 1;
+  const int pad_y = static_cast<int>(std::ceil(2.0 * fs_y)) + 1;
+  JDIMENSION xoff = static_cast<JDIMENSION>(
+      std::max(0, static_cast<int>(std::floor(sx0)) - pad_x));
+  int rx1 = std::min(sw, static_cast<int>(std::ceil(sx1)) + pad_x);
+  JDIMENSION xwidth = static_cast<JDIMENSION>(rx1 - static_cast<int>(xoff));
+  jpeg_crop_scanline(&cinfo, &xoff, &xwidth);  // adjusts outward to iMCU columns
+  const int ry0 = std::max(0, static_cast<int>(std::floor(sy0)) - pad_y);
+  const int ry1 = std::min(sh, static_cast<int>(std::ceil(sy1)) + pad_y);
+  int y0 = 0;
+  if (ry0 > 0)
+    y0 = static_cast<int>(jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(ry0)));
+
+  thread_local Image region;
+  region.w = static_cast<int>(xwidth);
+  region.h = ry1 - y0;
+  if (region.w <= 0 || region.h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  region.data.resize(static_cast<size_t>(region.w) * region.h * 3);
+  thread_local std::vector<uint8_t> row;
+  row.resize(static_cast<size_t>(region.w) * nc);
+  uint8_t* rowp = row.data();
+  while (static_cast<int>(cinfo.output_scanline) < ry1) {
+    const int y = static_cast<int>(cinfo.output_scanline) - y0;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    if (y < 0 || y >= region.h) continue;  // defensive: skip_scanlines undershoot
+    uint8_t* dst = region.data.data() + static_cast<size_t>(y) * region.w * 3;
+    if (!cmyk) {
+      std::memcpy(dst, rowp, static_cast<size_t>(region.w) * 3);
     } else {
-      cw = img.w;
-      ch = img.h;
+      for (int x = 0; x < region.w; ++x) {
+        const int cc = rowp[x * 4], m = rowp[x * 4 + 1], ye = rowp[x * 4 + 2],
+                  k = rowp[x * 4 + 3];
+        dst[x * 3 + 0] = static_cast<uint8_t>(cc * k / 255);
+        dst[x * 3 + 1] = static_cast<uint8_t>(m * k / 255);
+        dst[x * 3 + 2] = static_cast<uint8_t>(ye * k / 255);
+      }
     }
-    left = (img.w - cw) / 2;
-    top = (img.h - ch) / 2;
   }
-  resample(img, left, top, left + cw, top + ch, size, size, out);
+  jpeg_abort_decompress(&cinfo);  // abandon the rows below the crop
+  jpeg_destroy_decompress(&cinfo);
+  resample(region, sx0 - xoff, sy0 - y0, sx1 - xoff, sy1 - y0, size, size, out);
+  return true;
 }
 
 }  // namespace
@@ -330,6 +479,11 @@ int mm_decode_batch_aug(const uint8_t* blob, const int64_t* offsets, int n, int 
     return (v >= 1.0 && v <= 8.0) ? v : 2.0;
   }();
   const int min_side = static_cast<int>(std::lround(size * headroom));
+  // Fast train decode (crop-folded fractional-DCT partial decode) is the default for
+  // mode=1; MMTPU_TRAIN_FAST_DECODE=0 restores the exact full-decode path (eval always
+  // uses the exact path — it carries the PIL bit-parity contract).
+  const char* fast_env = std::getenv("MMTPU_TRAIN_FAST_DECODE");
+  const bool fast_train = !(fast_env && fast_env[0] == '0');  // per-call: testable
   auto worker = [&]() {
     for (;;) {
       const int i = next.fetch_add(1);
@@ -337,9 +491,16 @@ int mm_decode_batch_aug(const uint8_t* blob, const int64_t* offsets, int n, int 
       const uint8_t* buf = blob + offsets[i];
       const size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
       uint8_t* dst = out + static_cast<size_t>(i) * size * size * 3;
-      Image img;
-      bool good = len > 3 && buf[0] == 0xFF && buf[1] == 0xD8 &&
-                  decode_jpeg(buf, len, min_side, &img) && img.w > 0 && img.h > 0;
+      const bool is_jpeg = len > 3 && buf[0] == 0xFF && buf[1] == 0xD8;
+      if (mode == 1 && fast_train && is_jpeg &&
+          train_fast(buf, len, size, seeds ? seeds[i] : 0, s_lo, s_hi, r_lo, r_hi,
+                     dst)) {
+        ok[i] = 1;
+        continue;
+      }
+      thread_local Image img;
+      bool good = is_jpeg && decode_jpeg(buf, len, min_side, &img) && img.w > 0 &&
+                  img.h > 0;
       if (!good) {
         std::memset(dst, 0, static_cast<size_t>(size) * size * 3);
         ok[i] = 0;

@@ -70,3 +70,50 @@ def test_bpe_fuzz_ascii():
     assert nat is not None
     py = tokenize(cases, use_native=False)
     np.testing.assert_array_equal(nat, py)
+
+
+def _photo_jpeg(side=320, quality=92):
+    """A smooth 'natural' test image (gradients + shapes) — random noise is a
+    meaningless quality target for lossy-decode comparisons."""
+    y, x = np.mgrid[0:side, 0:side].astype(np.float32) / side
+    r = (127 + 90 * np.sin(6.28 * x) * np.cos(3.14 * y)).astype(np.uint8)
+    g = (np.clip(255 * ((x - 0.5) ** 2 + (y - 0.5) ** 2) * 2, 0, 255)).astype(np.uint8)
+    b = (255 * x * y).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(np.stack([r, g, b], -1)).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_fast_train_decode_matches_exact_path(monkeypatch):
+    """The crop-folded fractional-DCT train path must draw the SAME crop as the exact
+    path (identical RNG stream) and produce near-identical pixels on natural content —
+    the quality gate for the default-on fast decode."""
+    import os
+
+    from multimodal_tpu.data.wds import decode_images
+
+    bufs = [_photo_jpeg(s) for s in (256, 320, 480)]
+    seeds = np.arange(len(bufs), dtype=np.uint64)
+    fast, ok1 = decode_images(bufs, 224, train=True, seeds=seeds)
+    monkeypatch.setenv("MMTPU_TRAIN_FAST_DECODE", "0")
+    exact, ok2 = decode_images(bufs, 224, train=True, seeds=seeds)
+    monkeypatch.delenv("MMTPU_TRAIN_FAST_DECODE")
+    assert ok1.all() and ok2.all()
+    for i in range(len(bufs)):
+        diff = np.abs(fast[i].astype(int) - exact[i].astype(int))
+        # same crop rect => global structure identical; DCT low-pass vs full decode +
+        # bicubic differ only in high-frequency rounding
+        assert diff.mean() < 3.0, f"img {i}: mean |fast-exact| {diff.mean():.2f}"
+        assert np.corrcoef(fast[i].ravel(), exact[i].ravel())[0, 1] > 0.99
+
+
+def test_fast_train_decode_determinism_and_corrupt():
+    from multimodal_tpu.data.wds import decode_images
+
+    bufs = [b"\xff\xd8garbage-after-soi", _photo_jpeg(300)]
+    seeds = np.arange(2, dtype=np.uint64)
+    a, ok = decode_images(bufs, 224, train=True, seeds=seeds)
+    b, ok2 = decode_images(bufs, 224, train=True, seeds=seeds)
+    assert list(ok) == [False, True] and list(ok2) == [False, True]
+    assert np.array_equal(a, b)
+    assert (a[0] == 0).all()  # corrupt -> black frame, absorbed
