@@ -74,6 +74,9 @@ def main():
                         help="per-block rematerialization (A/B for HBM-bound configs)")
     parser.add_argument("--int8", action="store_true",
                         help="SwitchBack int8 MLP GEMMs (--precision int8 A/B)")
+    parser.add_argument("--offload", action="store_true",
+                        help="AdamW moments in pinned host RAM (parallel/offload.py "
+                             "A/B for HBM-bound models)")
     parser.add_argument("--opt-state-dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="AdamW moment dtype; default f32 except H/14 and g/14 "
@@ -155,8 +158,19 @@ def main():
     )
     state = TrainState.create(params, tx)
     mesh = create_mesh()
-    state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=True)
+    if args.offload:
+        from multimodal_tpu.parallel.offload import (
+            offload_state_shardings, shard_state_offload)
+
+        state_shardings = offload_state_shardings(state, mesh)
+        state = shard_state_offload(state, mesh)
+        step = make_train_step(model, tx, loss_type="clip", mesh=mesh,
+                               state_shardings=state_shardings, donate=True,
+                               offload_opt_state=True)
+    else:
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        step = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=True)
 
     rng = np.random.default_rng(0)
     c = model.cfg

@@ -33,8 +33,27 @@ import time
 import numpy as np
 
 
-def _make_shards(root: str, num_samples: int, num_shards: int, side: int, quality: int):
-    """Synthesize webdataset shards of random JPEGs + short captions."""
+def _natural_image(rng, side: int) -> np.ndarray:
+    """Natural-statistics test image (smooth gradients + a few shapes): JPEG bitrate and
+    entropy-decode cost in the ballpark of real photos. Uniform noise is ~3x the bits of
+    a photo at the same quality — benchmarking on it measures the Huffman worst case,
+    not the workload (kept available via --noise)."""
+    y, x = np.mgrid[0:side, 0:side].astype(np.float32) / side
+    fx, fy, ph = rng.uniform(2, 9), rng.uniform(2, 9), rng.uniform(0, 6.28)
+    base = 127 + 80 * np.sin(fx * x * 3.14 + ph) * np.cos(fy * y * 3.14)
+    img = np.stack([base, 255 * x * rng.uniform(0.4, 1.0),
+                    255 * y * rng.uniform(0.4, 1.0)], -1)
+    # a couple of hard-edged rectangles for realistic local detail
+    for _ in range(3):
+        x0, y0 = rng.integers(0, side - side // 4, 2)
+        w, h = rng.integers(side // 8, side // 3, 2)
+        img[y0:y0 + h, x0:x0 + w] = rng.integers(0, 256, 3)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _make_shards(root: str, num_samples: int, num_shards: int, side: int, quality: int,
+                 noise: bool = False):
+    """Synthesize webdataset shards of JPEGs + short captions."""
     from PIL import Image
 
     rng = np.random.default_rng(0)
@@ -47,7 +66,8 @@ def _make_shards(root: str, num_samples: int, num_shards: int, side: int, qualit
         path = os.path.join(root, f"bench-{sh:04d}.tar")
         with tarfile.open(path, "w") as tar:
             for i in range(per):
-                arr = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+                arr = (rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+                       if noise else _natural_image(rng, side))
                 buf = io.BytesIO()
                 Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
                 payload = buf.getvalue()
@@ -75,6 +95,9 @@ def main(argv=None):
     p.add_argument("--num-shards", type=int, default=4)
     p.add_argument("--source-size", type=int, default=320,
                    help="side of the synthesized source JPEGs")
+    p.add_argument("--noise", action="store_true",
+                   help="uniform-noise sources (Huffman worst case) instead of "
+                        "natural-statistics images")
     p.add_argument("--quality", type=int, default=92)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch-size", type=int, default=256)
@@ -96,7 +119,7 @@ def main(argv=None):
     if pattern is None:
         tmp = tempfile.TemporaryDirectory(prefix="mmtpu_bench_")
         pattern = _make_shards(tmp.name, args.num_samples, args.num_shards,
-                               args.source_size, args.quality)
+                               args.source_size, args.quality, noise=args.noise)
     try:
         shards, _ = expand_shards(pattern, None)
         print(f"[bench_pipeline] shards={len(shards)} native={nat.available()} "

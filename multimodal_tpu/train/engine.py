@@ -66,6 +66,26 @@ class TrainState:
                    ema_params=ema_params)
 
 
+def _move_moments(opt_state, sharding):
+    """device_put the fused-AdamW moment trees (mu/nu) to ``sharding`` — the in-step
+    half of optimizer-state host offload (parallel/offload.py holds the between-step
+    placement). Walks wrapper NamedTuples (MaskedState, SkipIfNonfiniteState, chains)."""
+    from multimodal_tpu.train.optimizer import FusedAdamWState
+
+    def visit(node):
+        if isinstance(node, FusedAdamWState):
+            move = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, sharding), t)
+            return node._replace(mu=move(node.mu), nu=move(node.nu))
+        if isinstance(node, tuple) and type(node) is not tuple:
+            return type(node)(*(visit(c) for c in node))
+        if isinstance(node, tuple):
+            return tuple(visit(c) for c in node)
+        return node
+
+    return visit(opt_state)
+
+
 def global_norm(tree):
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree))
@@ -383,6 +403,7 @@ def make_train_step(
     donate: bool = True,
     state_shardings=None,
     ema_decay: Optional[float] = None,
+    offload_opt_state: bool = False,
 ):
     """Build the jitted train step. With ``mesh``: params replicated, batch data-sharded.
 
@@ -394,7 +415,12 @@ def make_train_step(
 
     state_shardings: an optional NamedSharding tree for the TrainState (e.g. from
     parallel.tp.tp_state_shardings) — enables tensor parallelism over a ('data','model')
-    mesh via GSPMD propagation; mutually exclusive with use_shard_map."""
+    mesh via GSPMD propagation; mutually exclusive with use_shard_map.
+
+    offload_opt_state: the AdamW moments live in pinned host RAM between steps
+    (parallel/offload.py shardings on the state) — the step explicitly device_puts them
+    HBM-side before tx.update and back to host after, which is what lets XLA schedule
+    the HBM<->host DMA around the backward instead of rejecting the mixed-memory add."""
     loss_fn = make_loss_fn(model, loss_type, loss_kwargs)
 
     if feature_cached_accum and accum_steps > 1:
@@ -444,7 +470,14 @@ def make_train_step(
         else:
             grads, metrics = grads_and_metrics(state.params, batch, rng, None)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        opt_state_in = state.opt_state
+        if offload_opt_state:
+            opt_state_in = _move_moments(
+                opt_state_in, NamedSharding(mesh, P(), memory_kind="device"))
+        updates, new_opt_state = tx.update(grads, opt_state_in, state.params)
+        if offload_opt_state:
+            new_opt_state = _move_moments(
+                new_opt_state, NamedSharding(mesh, P(), memory_kind="pinned_host"))
         new_params = optax.apply_updates(state.params, updates)
         if loss_type != "siglip":
             # CLIP-family ln(100) temperature clamp (train.py:181-182); SigLIP's
@@ -472,7 +505,9 @@ def make_train_step(
 
         batch_spec = P(_batch_axes(mesh))
     if state_shardings is not None:
-        assert mesh is not None and not use_shard_map
+        # TP/FSDP/EP shardings are GSPMD-propagated and exclusive with shard_map; the
+        # offload shardings are replicated-with-memory-kinds and compose with it
+        assert mesh is not None and (not use_shard_map or offload_opt_state)
         replicated = NamedSharding(mesh, P())
         data_sharded = NamedSharding(mesh, batch_spec)
         jit_kwargs["in_shardings"] = (state_shardings, data_sharded, replicated)

@@ -74,6 +74,10 @@ def parse_args(args=None):
                    default="float32",
                    help="AdamW moment storage dtype; bfloat16 halves optimizer-state HBM "
                         "(4 vs 8 bytes/param) for billion-param models on one chip")
+    g.add_argument("--opt-state-offload", action="store_true",
+                   help="keep AdamW moments in pinned host RAM instead of HBM "
+                        "(parallel/offload.py) — frees ~8 bytes/param of HBM for "
+                        "batch on HBM-bound models (ViT-g/14)")
     g.add_argument("--beta1", type=float, default=None)
     g.add_argument("--beta2", type=float, default=None)
     g.add_argument("--eps", type=float, default=None)

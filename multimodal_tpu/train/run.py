@@ -220,6 +220,7 @@ def build_train_step(args, model, tx, mesh, state_shardings=None, epoch: int = 0
         accum_steps=args.accum_freq, feature_cached_accum=args.feature_cached_accum,
         donate=True, state_shardings=state_shardings,
         ema_decay=args.model_ema_decay if args.model_ema else None,
+        offload_opt_state=getattr(args, "opt_state_offload", False),
     )
 
 
@@ -830,6 +831,12 @@ def main(argv=None):
 
         state_shardings = fsdp_state_shardings(state, mesh)
         state = shard_state_fsdp(state, mesh)
+    elif args.opt_state_offload:
+        from multimodal_tpu.parallel.offload import (
+            offload_state_shardings, shard_state_offload)
+
+        state_shardings = offload_state_shardings(state, mesh)
+        state = shard_state_offload(state, mesh)
     else:
         state = jax.device_put(state, replicated_sharding(mesh))
 
