@@ -1,0 +1,163 @@
+"""Serving benchmark: measured latency/throughput for the embedding service on the chip.
+
+Drives the FULL production path — HTTP (ThreadingHTTPServer) -> JSON -> DynamicBatcher
+-> bucketed jitted encoders — with concurrent closed-loop clients, and reports per-request
+p50/p99 latency plus sustained embeds/s for /v1/embed/text and /v1/embed/image at several
+concurrency levels, bf16 vs --quantized (int8 W8A8 path). Also verifies the compile-count
+contract: after the sweep, each modality's jit cache must hold at most
+log2(max_batch)+1 programs (serving.py's bucketed-static-shapes claim).
+
+Counterpart of the reference's batch extractor (papers-1-and-2/clip_embeddings.py), which
+has no serving layer at all — these numbers back the beyond-reference "production
+embedding service" claim in README/RESULTS.
+
+Usage: python scripts/bench_serving.py [--model ViT-B-32] [--seconds 10] [--quantized]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, json.dumps(payload).encode(),
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _drive(url, payloads, concurrency: int, seconds: float):
+    """Closed-loop clients: each thread fires requests back to back for ``seconds``.
+    Returns (per-request latencies sorted, items/s)."""
+    latencies = []
+    items = [0]
+    lock = threading.Lock()
+    stop = time.perf_counter() + seconds
+
+    def client(tid):
+        i = tid
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            out = _post(url, payloads[i % len(payloads)])
+            dt = time.perf_counter() - t0
+            n = len(out.get("embeddings", []))
+            with lock:
+                latencies.append(dt)
+                items[0] += n
+            i += 1
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    return sorted(latencies), items[0] / wall
+
+
+def _pct(sorted_vals, q):
+    if not sorted_vals:
+        return float("nan")
+    k = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[k]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--concurrency", default="1,8,64")
+    p.add_argument("--items-per-request", type=int, default=4,
+                   help="texts/images per client request (a realistic small payload)")
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--quantized", action="store_true")
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.serving import EmbeddingService, make_server
+
+    model = create_model(args.model)
+    import jax.numpy as jnp
+
+    service = EmbeddingService(model, init_params(model), max_batch=args.max_batch,
+                               max_wait_ms=5.0, quantized=args.quantized)
+    srv = make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    mode = "int8" if args.quantized else "bf16"
+
+    # payload pools
+    rng = np.random.default_rng(0)
+    texts = [[f"a photo of object {i} in scene {j}" for i in range(args.items_per_request)]
+             for j in range(16)]
+    imgs = []
+    size = model.cfg.vision.image_size
+    for j in range(8):
+        batch = []
+        for i in range(args.items_per_request):
+            arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            batch.append(base64.b64encode(buf.getvalue()).decode())
+        imgs.append(batch)
+
+    # warm both modalities through EVERY power-of-two bucket (compile now, not during
+    # timing — coalesced concurrent requests can land in any bucket <= max_batch)
+    b = 1
+    while b <= args.max_batch:
+        service.embed_texts(["warm"] * b)
+        service.embed_image_arrays(
+            rng.integers(0, 256, (b, size, size, 3), dtype=np.uint8))
+        b *= 2
+    _post(f"{base}/v1/embed/text", {"texts": texts[0]})
+    _post(f"{base}/v1/embed/image", {"images_b64": imgs[0]})
+
+    results = []
+    for conc in [int(c) for c in args.concurrency.split(",")]:
+        for name, url, payloads in (
+            ("text", f"{base}/v1/embed/text", [{"texts": t} for t in texts]),
+            ("image", f"{base}/v1/embed/image", [{"images_b64": b} for b in imgs]),
+        ):
+            lat, rate = _drive(url, payloads, conc, args.seconds)
+            rec = {
+                "endpoint": name, "mode": mode, "concurrency": conc,
+                "p50_ms": round(_pct(lat, 0.50) * 1e3, 1),
+                "p99_ms": round(_pct(lat, 0.99) * 1e3, 1),
+                "embeds_per_s": round(rate, 1),
+                "requests": len(lat),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    # compile-count contract: <= log2(max_batch)+1 programs per modality
+    import math
+
+    emb = service._embedder
+    budget = int(math.log2(args.max_batch)) + 1
+    for nm in ("_encode_text", "_encode_image"):
+        fn = getattr(emb, nm, None)
+        n = fn._cache_size() if fn is not None and hasattr(fn, "_cache_size") else None
+        print(json.dumps({"compiled_programs": n, "fn": nm, "budget": budget}))
+        if n is not None:
+            assert n <= budget, f"{nm}: {n} compiled programs > bucket budget {budget}"
+    print(json.dumps({"stats": service.stats()}))
+    service.close()
+    srv.shutdown()
+    return results
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)
