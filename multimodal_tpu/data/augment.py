@@ -14,7 +14,7 @@ Here every supported knob is functional on BOTH decode paths:
     (per-pixel standard-normal noise in NORMALIZED space, mapped to the uint8 wire format
     through the OpenAI mean/std since normalization happens on-device here).
 
-Unsupported timm keys (auto_augment policies, hflip, ...) warn loudly and are dropped,
+Unsupported timm keys (auto_augment policies, ...) warn loudly and are dropped,
 mirroring transform.py:118's unused-keys warning.
 """
 
@@ -41,6 +41,7 @@ class AugmentationCfg:
     scale: Tuple[float, float] = (0.9, 1.0)
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
     color_jitter: Optional[Tuple[float, float, float]] = None
+    hflip: float = 0.0
     grayscale_prob: float = 0.0
     re_prob: float = 0.0
     re_count: int = 1
@@ -48,7 +49,8 @@ class AugmentationCfg:
 
     @property
     def has_pixel_aug(self) -> bool:
-        return bool(self.color_jitter) or self.grayscale_prob > 0 or self.re_prob > 0
+        return (bool(self.color_jitter) or self.grayscale_prob > 0 or self.re_prob > 0
+                or self.hflip > 0)
 
 
 def _as_pair(v) -> Tuple[float, float]:
@@ -84,6 +86,8 @@ def parse_aug_cfg(cfg) -> Optional[AugmentationCfg]:
             out.color_jitter = (float(b), float(c), float(s))
         if not any(out.color_jitter):
             out.color_jitter = None
+    if "hflip" in cfg:
+        out.hflip = float(cfg.pop("hflip"))
     if "grayscale_prob" in cfg:
         out.grayscale_prob = float(cfg.pop("grayscale_prob"))
     if "re_prob" in cfg:
@@ -100,7 +104,8 @@ def parse_aug_cfg(cfg) -> Optional[AugmentationCfg]:
     if cfg:
         log.warning(
             "--aug-cfg keys %s have no counterpart in this pipeline and are IGNORED "
-            "(supported: scale, ratio, color_jitter, grayscale_prob, re_prob, re_count)",
+            "(supported: scale, ratio, color_jitter, hflip, grayscale_prob, re_prob, "
+            "re_count)",
             sorted(cfg),
         )
     return out
@@ -175,6 +180,8 @@ def apply_pixel_augment(
     out = batch  # mutated in place sample-by-sample; callers own the array
     for i in range(batch.shape[0]):
         img = None
+        if cfg.hflip and rng.uniform() < cfg.hflip:
+            out[i] = out[i][:, ::-1]  # timm order: hflip before the color transforms
         if cfg.color_jitter:
             img = _jitter_one(out[i].astype(np.float32), rng, cfg.color_jitter)
         if cfg.grayscale_prob and rng.uniform() < cfg.grayscale_prob:

@@ -155,3 +155,16 @@ def test_cli_plumbs_aug_cfg(tmp_path, monkeypatch):
                             "grayscale_prob": 0.1}
     cfg = parse_aug_cfg(dict(args.aug_cfg))
     assert cfg.scale == (0.4, 0.9) and cfg.color_jitter == (0.3, 0.3, 0.3)
+
+
+def test_hflip_key_flips_with_probability():
+    from multimodal_tpu.data.augment import apply_pixel_augment, parse_aug_cfg
+
+    cfg = parse_aug_cfg({"hflip": 1.0})
+    assert cfg.hflip == 1.0 and cfg.has_pixel_aug
+    batch = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    out = apply_pixel_augment(batch.copy(), np.random.default_rng(0), cfg)
+    np.testing.assert_array_equal(out, batch[:, :, ::-1])
+    # prob 0 -> untouched
+    cfg0 = parse_aug_cfg({"hflip": 0.0, "re_prob": 0.0})
+    assert cfg0 is not None and not cfg0.hflip
