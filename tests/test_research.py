@@ -147,3 +147,25 @@ def test_loss_bench_dynamics(dist):
         assert res.final_concentration_a > 3 * res.initial_concentration_a
     text = res.summary_text()
     assert "Final losses" in text and dist in text
+
+
+def test_tsne_projection_separates_clusters():
+    """From-scratch exact t-SNE (research/projection.py:tsne_projection): two
+    well-separated 32-D clusters must stay separated in 2-D, deterministically."""
+    import numpy as np
+
+    from multimodal_tpu.research.projection import project_embeddings, tsne_projection
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((40, 32)) * 0.05 + 5.0
+    b = rng.standard_normal((40, 32)) * 0.05 - 5.0
+    y = tsne_projection(np.concatenate([a, b]), iters=250, seed=1)
+    assert y.shape == (80, 2) and np.isfinite(y).all()
+    ca, cb = y[:40].mean(0), y[40:].mean(0)
+    spread = max(y[:40].std(), y[40:].std())
+    assert np.linalg.norm(ca - cb) > 3 * spread, "clusters collapsed"
+    y2 = tsne_projection(np.concatenate([a, b]), iters=250, seed=1)
+    np.testing.assert_array_equal(y, y2)
+    # dispatch through the cone-effect entry point
+    out = project_embeddings(a, b, method="tsne", n_components=2)
+    assert out["image"].shape == (40, 2) and out["method"] == "tsne"
