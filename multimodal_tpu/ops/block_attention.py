@@ -92,7 +92,27 @@ def _causal_mask(s: int):
 
 
 def _proj(x, w_ref, b_ref):
-    """[R, W] @ [W, N] + b, f32 accumulation, result in x.dtype."""
+    """[R, W] @ [W, N] + b, f32 accumulation, result in x.dtype.
+
+    MMTPU_BLOCK_ATTN_INT8=1 (experiment): run the projection W8A8 on the int8 MXU with
+    in-VMEM dynamic scales (per-row activations, per-column weights) — the in-kernel
+    counterpart of ops/quant.int8_dense_train's forward, for the attention share that
+    the XLA-side --precision int8 cannot reach."""
+    import os
+
+    if os.environ.get("MMTPU_BLOCK_ATTN_INT8") == "1":
+        w = w_ref[...]
+        xa = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+        sx = jnp.maximum(xa, 1e-12) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+        wa = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+        sw = jnp.maximum(wa, 1e-12) * (1.0 / 127.0)
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * sx * sw
+        return (y + b_ref[...].astype(jnp.float32)).astype(x.dtype)
     y = jax.lax.dot_general(
         x, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
