@@ -204,3 +204,42 @@ def test_int8_forward_training_step_learns():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], f"no learning under int8 GEMMs: {losses}"
+
+
+def test_int8_forward_composes_with_tensor_parallel():
+    """--precision int8 under a ('data','model') TP mesh: GSPMD must partition the
+    int8 dots (model-sharded MLP kernels) and the step must match... at least run and
+    stay finite — the quantization scales are per-shard under TP (per-column weight
+    scales shard cleanly; per-row activation scales are replicated row-wise)."""
+    import jax
+
+    from multimodal_tpu.parallel.tp import create_tp_mesh, shard_state, tp_state_shardings
+    from multimodal_tpu.train import TrainState, make_optimizer, make_train_step
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 devices")
+    model = create_model("tiny-test", int8_forward=True)
+    params = init_params(model)
+    tx = make_optimizer(1e-3, grad_clip_norm=1.0)
+    mesh = create_tp_mesh(len(jax.devices()) // 2, 2)
+    state = TrainState.create(params, tx)
+    shardings = tp_state_shardings(state, mesh)
+    state = shard_state(state, mesh)
+    step = make_train_step(model, tx, loss_type="clip", mesh=mesh,
+                           state_shardings=shardings, donate=False)
+    c = model.cfg
+    rng = jax.random.PRNGKey(0)
+    batch = jax.device_put(
+        {
+            "image": np.random.default_rng(0).standard_normal(
+                (8, c.vision.image_size, c.vision.image_size, 3)).astype(np.float32),
+            "text": np.random.default_rng(1).integers(
+                1, c.text.vocab_size - 1, (8, c.text.context_length)).astype(np.int32),
+        },
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    for _ in range(2):
+        state, m = step(state, batch, rng)
+        assert np.isfinite(float(m["loss"]))
