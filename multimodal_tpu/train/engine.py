@@ -38,13 +38,26 @@ from multimodal_tpu.ops.sphere import l2_normalize
 DATA_AXIS = "data"
 
 
-def batch_images(batch):
+def batch_images(batch, model=None):
     """Device-side input prolog: uint8 batches (the native pipeline's wire format — 4x less
     host->device traffic) are normalized in XLA; float batches pass through already
-    normalized."""
+    normalized.
+
+    When the batch's spatial size differs from the model's image_size (the --wire-size
+    low-bandwidth format: the host ships crops at source resolution, e.g. 128 px for a
+    224-px model — another 3.1x less host->device traffic), the upsample to model
+    resolution runs HERE as an XLA bicubic resize fused into the step prolog: resolution
+    recovery costs MXU-adjacent compute instead of wire bandwidth."""
     img = batch["image"]
     if img.dtype == jnp.uint8:
-        return normalize_images(img)
+        img = normalize_images(img)
+    target = getattr(getattr(getattr(model, "cfg", None), "vision", None),
+                     "image_size", None)
+    if target and img.shape[1] != target:
+        img = jax.image.resize(
+            img.astype(jnp.float32),
+            (img.shape[0], target, target, img.shape[-1]), method="bicubic",
+        )
     return img
 
 
@@ -135,13 +148,13 @@ def make_loss_fn(
                 from multimodal_tpu.models.moe import collect_moe_losses
 
                 out, mutated = model.apply(
-                    params, batch_images(batch), batch["text"], train=True,
+                    params, batch_images(batch, model), batch["text"], train=True,
                     rngs={"patch_dropout": rng}, mutable=["moe_losses"],
                 )
                 moe_aux = collect_moe_losses(mutated)
             else:
                 out = model.apply(
-                    params, batch_images(batch), batch["text"], train=True,
+                    params, batch_images(batch, model), batch["text"], train=True,
                     rngs={"patch_dropout": rng},
                 )
             fi, ft, ls = out["image_features"], out["text_features"], out["logit_scale"]
@@ -187,7 +200,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch), batch["text"], train=True,
+                params, batch_images(batch, model), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             from multimodal_tpu.losses.siglip_loss import siglip_loss
@@ -208,7 +221,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch), batch["text"], train=True,
+                params, batch_images(batch, model), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             img, txt = out["image_features"], out["text_features"]
@@ -224,7 +237,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch), batch["text"], train=True,
+                params, batch_images(batch, model), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             res = align_clip_loss(
@@ -249,7 +262,7 @@ def make_loss_fn(
         def loss_fn(params, batch, rng, axis_name=None):
             rng, dropout_rng = jax.random.split(rng)
             out = model.apply(
-                params, batch_images(batch), batch["text"], train=True,
+                params, batch_images(batch, model), batch["text"], train=True,
                 rngs={"patch_dropout": dropout_rng},
             )
             mu_i = l2_normalize(out["image_mean"])
@@ -331,11 +344,11 @@ def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
         if has_moe:
             from multimodal_tpu.models.moe import collect_moe_losses
 
-            out, mutated = model.apply(p, batch_images(mb), mb["text"], train=True,
+            out, mutated = model.apply(p, batch_images(mb, model), mb["text"], train=True,
                                        rngs={"patch_dropout": r}, mutable=["moe_losses"])
             aux = collect_moe_losses(mutated)
         else:
-            out = model.apply(p, batch_images(mb), mb["text"], train=True,
+            out = model.apply(p, batch_images(mb, model), mb["text"], train=True,
                               rngs={"patch_dropout": r})
             aux = jnp.float32(0.0)
         return out["image_features"], out["text_features"], out["logit_scale"], aux

@@ -109,6 +109,12 @@ def parse_args(args=None):
                         "plus SwitchBack int8 MLP GEMMs (fwd + input-grad) on the "
                         "2x-rate int8 MXU")
     g.add_argument("--force-image-size", type=int, default=None)
+    g.add_argument("--wire-size", type=int, default=None,
+                   help="host-side decode/crop resolution; the train step upsamples to "
+                        "the model's image_size ON DEVICE (bicubic prolog). "
+                        "(wire/model)^2 less host->device bandwidth — use when the host "
+                        "link, not decode, bounds real-input throughput (e.g. 128 for "
+                        "a 224-px model on 128-px sources)")
     g.add_argument("--force-patch-dropout", type=float, default=None,
                    help="FLIP-style patch token dropout rate at train time")
     g.add_argument("--lock-image", action="store_true",

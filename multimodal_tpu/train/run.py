@@ -269,7 +269,7 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
 
     @jax.jit
     def encode(params, batch):
-        out = model.apply(params, batch_images(batch), batch["text"])
+        out = model.apply(params, batch_images(batch, model), batch["text"])
         if "image_features" in out:
             fi, ft = out["image_features"], out["text_features"]
         else:  # variational heads: normalized means as point estimates
@@ -710,7 +710,12 @@ def main(argv=None):
             "webdataset" if ".tar" in args.train_data else "coco"
         )
     data_kw = {
-        "image_size": args.force_image_size or model.cfg.vision.image_size,
+        # --wire-size: decode/crop at a smaller host-side resolution; the engine's
+        # batch_images upsamples to model resolution ON DEVICE (bicubic, fused into the
+        # step prolog). (wire/model)^2 less host->device bandwidth — the lever when the
+        # host link, not the decode, bounds real-input throughput.
+        "image_size": args.wire_size or args.force_image_size
+                      or model.cfg.vision.image_size,
         "context_length": model.cfg.text.context_length,
     }
     if dataset_type == "webdataset":

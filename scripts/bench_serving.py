@@ -20,13 +20,15 @@ import argparse
 import base64
 import io
 import json
-import statistics
+import os
 import sys
 import threading
 import time
 import urllib.request
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _post(url, payload):

@@ -84,6 +84,8 @@ def main(argv=None):
     p.add_argument("--train-samples", type=int, default=16384)
     p.add_argument("--val-samples", type=int, default=1024)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wire-size", type=int, default=None,
+                   help="host-side decode resolution (device upsamples to model size)")
     p.add_argument("--skip-train", action="store_true",
                    help="evaluate an existing <logs>/<name> checkpoint only")
     args = p.parse_args(argv)
@@ -100,7 +102,10 @@ def main(argv=None):
                "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
                "--warmup", "100", "--lr", str(args.lr), "--wd", "0.05",
                "--workers", "1", "--report-to", "none",
-               "--logs", args.logs, "--name", args.name]
+               "--logs", args.logs, "--name", args.name,
+               "--log-every-n-steps", "16"]
+        if args.wire_size:
+            cmd += ["--wire-size", str(args.wire_size)]
         print("[demo] train:", " ".join(cmd), file=sys.stderr, flush=True)
         env = dict(os.environ)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -355,3 +355,40 @@ def test_ema_params_track_with_warmup():
     plain = make_train_step(model, tx, loss_type="clip", mesh=mesh, donate=False)
     s0b, _ = plain(s0, batch, key)
     assert s0b.ema_params is None
+
+
+def test_wire_size_device_resize():
+    """--wire-size: a batch at a smaller host resolution is bicubic-upsampled to model
+    resolution inside the jitted step prolog (engine.batch_images) — the low-bandwidth
+    wire format. Train step runs and matches the full-res step's SHAPES/finiteness."""
+    import jax
+    import numpy as np
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.train import TrainState, make_optimizer, make_train_step
+    from multimodal_tpu.train.engine import batch_images
+
+    model = create_model("tiny-test")
+    size = model.cfg.vision.image_size
+    wire = size // 2
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, (8, wire, wire, 3), dtype=np.uint8),
+        "text": rng.integers(1, model.cfg.text.vocab_size - 1,
+                             (8, model.cfg.text.context_length)).astype(np.int32),
+    }
+    # prolog resizes to model resolution
+    img = batch_images({"image": jax.numpy.asarray(batch["image"])}, model)
+    assert img.shape == (8, size, size, 3)
+    # the full train step runs on the wire-format batch
+    tx = make_optimizer(1e-3, grad_clip_norm=1.0)
+    state = TrainState.create(init_params(model), tx)
+    step = make_train_step(model, tx, loss_type="clip", donate=False)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch, key)
+    assert np.isfinite(float(m["loss"]))
+    # and a full-res batch still passes through untouched
+    full = batch_images(
+        {"image": jax.numpy.asarray(rng.integers(0, 256, (4, size, size, 3),
+                                                 dtype=np.uint8))}, model)
+    assert full.shape == (4, size, size, 3)
