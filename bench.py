@@ -72,8 +72,11 @@ def main():
     parser.add_argument("--model", default="ViT-B-32")
     parser.add_argument("--remat", action="store_true",
                         help="per-block rematerialization (A/B for HBM-bound configs)")
-    parser.add_argument("--int8", action="store_true",
-                        help="SwitchBack int8 MLP GEMMs (--precision int8 A/B)")
+    parser.add_argument("--int8", action=argparse.BooleanOptionalAction, default=None,
+                        help="SwitchBack int8 MLP GEMMs (--precision int8). Default: "
+                             "the measured per-model best (on for B/32 +5.0%% / H/14 "
+                             "+2.1%% / L/14 +1.0%%; off for B/16 -1.8%% and g/14 wash "
+                             "— round-4 A/B, quality-gated in RESULTS.md)")
     parser.add_argument("--offload", action="store_true",
                         help="AdamW moments in pinned host RAM (parallel/offload.py "
                              "A/B for HBM-bound models)")
@@ -102,6 +105,11 @@ def main():
         args.opt_state_dtype = (
             "bfloat16" if args.model in ("ViT-H-14", "ViT-g-14") else "float32"
         )
+    if args.int8 is None:
+        # measured round-4 A/B (docs/DESIGN.md): int8 wins where MLP rows amortize the
+        # dynamic-quantize VPU work and the step is MXU-bound; B/16 regresses (-1.8%)
+        # and g/14 (HBM-bound) is a wash
+        args.int8 = args.model in ("ViT-B-32", "ViT-H-14", "ViT-L-14")
     steps = args.steps or (3 if args.quick else 8)
     warmup = 1 if args.quick else 3
 
