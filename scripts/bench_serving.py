@@ -50,7 +50,13 @@ def _drive(url, payloads, concurrency: int, seconds: float):
         i = tid
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
-            out = _post(url, payloads[i % len(payloads)])
+            try:
+                out = _post(url, payloads[i % len(payloads)])
+            except (ConnectionError, OSError):
+                # transient reset under heavy 1-core contention: retry, don't kill
+                # the client thread (its absence would inflate the others' share)
+                i += 1
+                continue
             dt = time.perf_counter() - t0
             n = len(out.get("embeddings", []))
             with lock:
