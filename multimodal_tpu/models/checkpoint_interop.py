@@ -208,11 +208,12 @@ def load_pretrained(path: str, params_template, cfg: CLIPConfig):
     """Load a checkpoint by format: orbax dir, or torch .pt/.pth/.bin via torch (CPU).
 
     When ``params_template`` carries LoRA adapter leaves (``lora_a``/``lora_b``, i.e.
-    the model was built with lora_rank > 0) the checkpoint is loaded against a
-    lora-free view of the template and the freshly initialized adapters are grafted
-    back on afterwards — no published/base checkpoint has adapter leaves, so matching
-    against the raw template would always fail (finetune.ipynb's get_peft_model path:
-    pretrained base + new adapters)."""
+    the model was built with lora_rank > 0): an orbax checkpoint that ITSELF carries
+    adapter leaves (saved from a LoRA finetune) is restored against the full template,
+    keeping the trained adapters. Otherwise (published/base checkpoints have no adapter
+    leaves) the checkpoint is loaded against a lora-free view of the template and the
+    freshly initialized adapters are grafted back on afterwards, with a log line saying
+    so (finetune.ipynb's get_peft_model path: pretrained base + new adapters)."""
     import flax.traverse_util as traverse_util
 
     from multimodal_tpu.models.lora import is_lora_leaf
@@ -228,8 +229,39 @@ def load_pretrained(path: str, params_template, cfg: CLIPConfig):
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), base_template
+        ckptr = ocp.StandardCheckpointer()
+        if lora_leaves:
+            # probe: a checkpoint saved from a LoRA finetune carries the adapters —
+            # restore it against the FULL template so the trained adapters load
+            # instead of being silently replaced by fresh inits
+            try:
+                return ckptr.restore(os.path.abspath(path), params_template)
+            except Exception:
+                log.info(
+                    "pretrained checkpoint %s has no LoRA adapter leaves — loading the "
+                    "base weights and grafting freshly initialized adapters", path,
+                )
+        import jax
+
+        restored = ckptr.restore(os.path.abspath(path), base_template)
+        # --force-image-size against a checkpoint trained at the registry resolution:
+        # orbax restores the CHECKPOINT's shapes (no shape enforcement), so bicubic-
+        # resize the visual positional table to the template grid, then strict-check —
+        # any remaining shape drift is a real config mismatch and raises
+        flat_r = traverse_util.flatten_dict(restored, sep="/")
+        flat_base = traverse_util.flatten_dict(base_template, sep="/")
+        for k in flat_base:
+            if (k.endswith("visual_stem/positional_embedding") and k in flat_r
+                    and np.shape(flat_r[k]) != np.shape(flat_base[k])):
+                flat_r[k] = resize_pos_embed(
+                    np.asarray(flat_r[k], np.float32), np.shape(flat_base[k])[0]
+                )
+        restored = traverse_util.unflatten_dict(flat_r, sep="/")
+        _check_tree_match(restored, base_template)
+        restored = jax.tree_util.tree_map(
+            lambda leaf, ref: np.asarray(leaf, np.asarray(ref).dtype)
+            if not hasattr(leaf, "sharding") else leaf,
+            restored, base_template,
         )
     else:
         import torch

@@ -31,10 +31,20 @@ def create_model(
     lora_rank: Optional[int] = None,
     lora_alpha: Optional[float] = None,
     int8_forward: bool = False,
+    force_image_size: Optional[int] = None,
 ):
     import dataclasses
 
     cfg = get_model_config(name)
+    if force_image_size:  # reference factory.py force_image_size: model AT this resolution
+        if force_image_size % cfg.vision.patch_size:
+            raise ValueError(
+                f"--force-image-size {force_image_size} is not a multiple of the "
+                f"model's patch size {cfg.vision.patch_size}"
+            )
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, image_size=force_image_size)
+        )
     if remat is not None:
         cfg = dataclasses.replace(cfg, remat=remat)
     if int8_forward:  # --precision int8: SwitchBack int8 MLP GEMMs (ops/quant.py)

@@ -79,7 +79,12 @@ def merge_lora(params, alpha: float | None = None, *, cfg=None,
     ``merge_and_unload`` deployment path. ``alpha`` must match the finetune's
     --lora-alpha; supply it one of three ways: explicitly, via ``cfg=`` (CLIPConfig,
     reads ``lora_alpha``), or via ``adapters=`` (an extract_lora dict carrying
-    ALPHA_KEY). Sources that disagree raise rather than merge wrongly."""
+    ALPHA_KEY). Sources that disagree raise rather than merge wrongly.
+
+    When ``adapters=`` is given its ADAPTER WEIGHTS are merged too: they are loaded
+    into ``params`` (load_lora — unknown paths / wrong shapes raise) before folding,
+    so merging a freshly-initialized tree with a trained extract_lora dict does the
+    expected thing instead of folding the tree's own (zero) lora_b."""
     sources = {"alpha": alpha}
     if cfg is not None:
         sources["cfg.lora_alpha"] = float(cfg.lora_alpha)
@@ -95,6 +100,8 @@ def merge_lora(params, alpha: float | None = None, *, cfg=None,
     if len(vals) > 1:
         raise ValueError(f"conflicting lora alpha values: {given}")
     alpha = vals.pop()
+    if adapters is not None:
+        params = load_lora(params, adapters)
     flat = traverse_util.flatten_dict(params, sep="/")
     out = {}
     for k, v in flat.items():

@@ -18,12 +18,17 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _memories_supported(mesh) -> bool:
+def _require_memories(mesh) -> None:
+    """Raise a descriptive error on backends without pinned_host memory support (the
+    CPU test mesh) instead of letting device_put fail with an opaque backend error."""
     try:
         NamedSharding(mesh, P(), memory_kind="pinned_host")
-        return True
-    except Exception:  # pragma: no cover - platform without memories support
-        return False
+    except Exception as e:  # pragma: no cover - platform without memories support
+        raise RuntimeError(
+            "optimizer-state host offload needs a backend with pinned_host memory "
+            "support (TPU); this backend "
+            f"({mesh.devices.flat[0].platform}) does not provide it"
+        ) from e
 
 
 def offload_state_shardings(state, mesh):
@@ -31,6 +36,7 @@ def offload_state_shardings(state, mesh):
     fused-AdamW moments (mu/nu), which are pinned to host memory."""
     from multimodal_tpu.train.optimizer import FusedAdamWState
 
+    _require_memories(mesh)
     rep = NamedSharding(mesh, P())
     host = NamedSharding(mesh, P(), memory_kind="pinned_host")
 

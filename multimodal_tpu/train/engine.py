@@ -38,22 +38,36 @@ from multimodal_tpu.ops.sphere import l2_normalize
 DATA_AXIS = "data"
 
 
-def batch_images(batch, model=None):
+def batch_images(batch, model=None, wire_size=None):
     """Device-side input prolog: uint8 batches (the native pipeline's wire format — 4x less
     host->device traffic) are normalized in XLA; float batches pass through already
     normalized.
 
-    When the batch's spatial size differs from the model's image_size (the --wire-size
-    low-bandwidth format: the host ships crops at source resolution, e.g. 128 px for a
-    224-px model — another 3.1x less host->device traffic), the upsample to model
-    resolution runs HERE as an XLA bicubic resize fused into the step prolog: resolution
-    recovery costs MXU-adjacent compute instead of wire bandwidth."""
+    ``wire_size`` opts into the --wire-size low-bandwidth format: the host ships crops at
+    a smaller source resolution (e.g. 128 px for a 224-px model — another 3.1x less
+    host->device traffic) and the upsample to model resolution runs HERE as an XLA bicubic
+    resize fused into the step prolog: resolution recovery costs MXU-adjacent compute
+    instead of wire bandwidth. The resize is gated on an EXPLICIT wire_size — a batch
+    whose spatial size differs from the model's image_size without one is a configuration
+    error (e.g. data decoded at a size the model was not built for) and raises instead of
+    silently training on upsampled data."""
     img = batch["image"]
     if img.dtype == jnp.uint8:
         img = normalize_images(img)
     target = getattr(getattr(getattr(model, "cfg", None), "vision", None),
                      "image_size", None)
     if target and img.shape[1] != target:
+        if wire_size is None:
+            raise ValueError(
+                f"batch images are {img.shape[1]}px but the model expects {target}px — "
+                "pass --wire-size to opt into the on-device upsample, or decode the data "
+                "at the model's resolution (--force-image-size rebuilds the model at the "
+                "forced size)"
+            )
+        if img.shape[1] != wire_size:
+            raise ValueError(
+                f"batch images are {img.shape[1]}px but --wire-size is {wire_size}"
+            )
         img = jax.image.resize(
             img.astype(jnp.float32),
             (img.shape[0], target, target, img.shape[-1]), method="bicubic",
@@ -121,6 +135,7 @@ def make_loss_fn(
     model,
     loss_type: str = "clip",
     loss_kwargs: Optional[dict] = None,
+    wire_size: Optional[int] = None,
 ) -> Callable:
     """Build loss_fn(params, batch, rng, axis_name) -> (loss, metrics) for a loss family.
 
@@ -148,13 +163,13 @@ def make_loss_fn(
                 from multimodal_tpu.models.moe import collect_moe_losses
 
                 out, mutated = model.apply(
-                    params, batch_images(batch, model), batch["text"], train=True,
+                    params, batch_images(batch, model, wire_size), batch["text"], train=True,
                     rngs={"patch_dropout": rng}, mutable=["moe_losses"],
                 )
                 moe_aux = collect_moe_losses(mutated)
             else:
                 out = model.apply(
-                    params, batch_images(batch, model), batch["text"], train=True,
+                    params, batch_images(batch, model, wire_size), batch["text"], train=True,
                     rngs={"patch_dropout": rng},
                 )
             fi, ft, ls = out["image_features"], out["text_features"], out["logit_scale"]
@@ -200,7 +215,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch, model), batch["text"], train=True,
+                params, batch_images(batch, model, wire_size), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             from multimodal_tpu.losses.siglip_loss import siglip_loss
@@ -221,7 +236,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch, model), batch["text"], train=True,
+                params, batch_images(batch, model, wire_size), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             img, txt = out["image_features"], out["text_features"]
@@ -237,7 +252,7 @@ def make_loss_fn(
 
         def loss_fn(params, batch, rng, axis_name=None):
             out = model.apply(
-                params, batch_images(batch, model), batch["text"], train=True,
+                params, batch_images(batch, model, wire_size), batch["text"], train=True,
                 rngs={"patch_dropout": rng},
             )
             res = align_clip_loss(
@@ -262,7 +277,7 @@ def make_loss_fn(
         def loss_fn(params, batch, rng, axis_name=None):
             rng, dropout_rng = jax.random.split(rng)
             out = model.apply(
-                params, batch_images(batch, model), batch["text"], train=True,
+                params, batch_images(batch, model, wire_size), batch["text"], train=True,
                 rngs={"patch_dropout": dropout_rng},
             )
             mu_i = l2_normalize(out["image_mean"])
@@ -318,7 +333,7 @@ def _accum_grads(loss_fn, params, batch, rng, accum_steps: int, axis_name):
 
 
 def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
-                          accum_steps: int, axis_name):
+                          accum_steps: int, axis_name, wire_size=None):
     """OpenCLIP feature-cached accumulation (train.py:119-163), exact full-batch gradients.
 
     Only defined for the plain CLIP InfoNCE loss (as in the reference). Phase 1: stop-grad
@@ -344,11 +359,11 @@ def _feature_cached_grads(model, params, batch, rng, logit_scale_loss_kwargs,
         if has_moe:
             from multimodal_tpu.models.moe import collect_moe_losses
 
-            out, mutated = model.apply(p, batch_images(mb, model), mb["text"], train=True,
+            out, mutated = model.apply(p, batch_images(mb, model, wire_size), mb["text"], train=True,
                                        rngs={"patch_dropout": r}, mutable=["moe_losses"])
             aux = collect_moe_losses(mutated)
         else:
-            out = model.apply(p, batch_images(mb, model), mb["text"], train=True,
+            out = model.apply(p, batch_images(mb, model, wire_size), mb["text"], train=True,
                               rngs={"patch_dropout": r})
             aux = jnp.float32(0.0)
         return out["image_features"], out["text_features"], out["logit_scale"], aux
@@ -417,6 +432,7 @@ def make_train_step(
     state_shardings=None,
     ema_decay: Optional[float] = None,
     offload_opt_state: bool = False,
+    wire_size: Optional[int] = None,
 ):
     """Build the jitted train step. With ``mesh``: params replicated, batch data-sharded.
 
@@ -434,7 +450,7 @@ def make_train_step(
     (parallel/offload.py shardings on the state) — the step explicitly device_puts them
     HBM-side before tx.update and back to host after, which is what lets XLA schedule
     the HBM<->host DMA around the backward instead of rejecting the mixed-memory add."""
-    loss_fn = make_loss_fn(model, loss_type, loss_kwargs)
+    loss_fn = make_loss_fn(model, loss_type, loss_kwargs, wire_size=wire_size)
 
     if feature_cached_accum and accum_steps > 1:
         # the cached-bank loss is the dense full-bank InfoNCE; a memory-bounded
@@ -451,7 +467,7 @@ def make_train_step(
         if feature_cached_accum and accum_steps > 1:
             assert loss_type == "clip", "feature-cached accumulation is a CLIP-loss feature"
             return _feature_cached_grads(model, params, batch, rng, loss_kwargs,
-                                         accum_steps, axis_name)
+                                         accum_steps, axis_name, wire_size)
         if accum_steps > 1:
             return _accum_grads(loss_fn, params, batch, rng, accum_steps, axis_name)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

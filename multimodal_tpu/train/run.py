@@ -221,6 +221,7 @@ def build_train_step(args, model, tx, mesh, state_shardings=None, epoch: int = 0
         donate=True, state_shardings=state_shardings,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         offload_opt_state=getattr(args, "opt_state_offload", False),
+        wire_size=args.wire_size,
     )
 
 
@@ -269,7 +270,9 @@ def evaluate(model, params, data_val, mesh, epoch: int, args) -> dict:
 
     @jax.jit
     def encode(params, batch):
-        out = model.apply(params, batch_images(batch, model), batch["text"])
+        out = model.apply(
+            params, batch_images(batch, model, getattr(args, "wire_size", None)),
+            batch["text"])
         if "image_features" in out:
             fi, ft = out["image_features"], out["text_features"]
         else:  # variational heads: normalized means as point estimates
@@ -688,6 +691,12 @@ def main(argv=None):
     ) if args.variational else None
     model = create_model(
         args.model, variational=args.variational, vcfg=vcfg, dtype=dtype,
+        # --force-image-size REBUILDS the model at the forced resolution (reference
+        # factory.py force_image_size semantics: the pos-embed grid matches the forced
+        # size; load_pretrained bicubic-resizes a pretrained table on mismatch) — the
+        # model trains AT that resolution, unlike --wire-size which only changes the
+        # host-side decode size and upsamples on device.
+        force_image_size=args.force_image_size,
         remat=args.grad_checkpointing or None,
         patch_dropout=args.force_patch_dropout,
         force_quick_gelu=args.force_quick_gelu,
@@ -714,8 +723,7 @@ def main(argv=None):
         # batch_images upsamples to model resolution ON DEVICE (bicubic, fused into the
         # step prolog). (wire/model)^2 less host->device bandwidth — the lever when the
         # host link, not the decode, bounds real-input throughput.
-        "image_size": args.wire_size or args.force_image_size
-                      or model.cfg.vision.image_size,
+        "image_size": args.wire_size or model.cfg.vision.image_size,
         "context_length": model.cfg.text.context_length,
     }
     if dataset_type == "webdataset":
@@ -821,6 +829,16 @@ def main(argv=None):
 
     state = TrainState.create(params, tx, ema=args.model_ema)
     state_shardings = None
+    if args.opt_state_offload and (tp > 1 or ep > 1 or args.fsdp):
+        # composing the pinned-host moment placement into the TP/FSDP/EP sharding trees
+        # is unimplemented; silently skipping it would leave the step device_putting
+        # moments host-side while out_shardings place them back in HBM — a wasted
+        # HBM<->host round trip every step. Refuse loudly instead.
+        raise SystemExit(
+            "--opt-state-offload does not compose with --tp/--ep/--fsdp "
+            "(the offload memory kinds are not folded into the parallel sharding "
+            "trees); drop one of the flags"
+        )
     if tp > 1:
         from multimodal_tpu.parallel.tp import shard_state, tp_state_shardings
 

@@ -377,18 +377,69 @@ def test_wire_size_device_resize():
         "text": rng.integers(1, model.cfg.text.vocab_size - 1,
                              (8, model.cfg.text.context_length)).astype(np.int32),
     }
-    # prolog resizes to model resolution
-    img = batch_images({"image": jax.numpy.asarray(batch["image"])}, model)
+    # prolog resizes to model resolution — only with the EXPLICIT wire_size opt-in
+    img = batch_images({"image": jax.numpy.asarray(batch["image"])}, model, wire)
     assert img.shape == (8, size, size, 3)
+    # without wire_size a mismatched batch is a configuration error, not a silent
+    # upsample (advisor round-4: --force-image-size must not be silently repurposed)
+    import pytest
+
+    with pytest.raises(ValueError, match="wire-size"):
+        batch_images({"image": jax.numpy.asarray(batch["image"])}, model)
+    # a wrong wire_size is rejected too
+    with pytest.raises(ValueError, match="wire-size"):
+        batch_images({"image": jax.numpy.asarray(batch["image"])}, model, wire + 4)
     # the full train step runs on the wire-format batch
     tx = make_optimizer(1e-3, grad_clip_norm=1.0)
     state = TrainState.create(init_params(model), tx)
-    step = make_train_step(model, tx, loss_type="clip", donate=False)
+    step = make_train_step(model, tx, loss_type="clip", donate=False, wire_size=wire)
     key = jax.random.PRNGKey(0)
     state, m = step(state, batch, key)
     assert np.isfinite(float(m["loss"]))
-    # and a full-res batch still passes through untouched
+    # and a full-res batch still passes through untouched (with or without wire_size)
     full = batch_images(
         {"image": jax.numpy.asarray(rng.integers(0, 256, (4, size, size, 3),
-                                                 dtype=np.uint8))}, model)
+                                                 dtype=np.uint8))}, model, wire)
     assert full.shape == (4, size, size, 3)
+
+
+def test_force_image_size_rebuilds_model(tmp_path):
+    """--force-image-size rebuilds the model AT the forced resolution (reference
+    factory semantics): the pos-embed grid matches, and load_pretrained from an orbax
+    checkpoint trained at the registry size bicubic-resizes the visual positional
+    table (align_clip/model.py:311-343) instead of failing on shape mismatch."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from multimodal_tpu.models import create_model, init_params
+    from multimodal_tpu.models.checkpoint_interop import load_pretrained
+
+    base = create_model("tiny-test")
+    size = base.cfg.vision.image_size
+    patch = base.cfg.vision.patch_size
+    forced = size + 2 * patch
+    model = create_model("tiny-test", force_image_size=forced)
+    assert model.cfg.vision.image_size == forced
+    grid = (forced // patch) ** 2 + 1
+    params = init_params(model)
+    assert params["params"]["visual_stem"]["positional_embedding"].shape[0] == grid
+    with pytest.raises(ValueError, match="multiple"):
+        create_model("tiny-test", force_image_size=size + 1)
+
+    # orbax checkpoint at registry size loads into the forced-size model
+    import orbax.checkpoint as ocp
+
+    bparams = init_params(base, jax.random.PRNGKey(3))
+    ckpt_dir = tmp_path / "base_ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt_dir.resolve()), jax.tree_util.tree_map(np.asarray, bparams))
+    ckptr.wait_until_finished()
+    loaded = load_pretrained(str(ckpt_dir),
+                             jax.tree_util.tree_map(np.asarray, params), model.cfg)
+    pe = loaded["params"]["visual_stem"]["positional_embedding"]
+    assert np.shape(pe)[0] == grid
+    # non-positional weights come through bit-exact
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["text_projection"]),
+        np.asarray(bparams["params"]["text_projection"]))
