@@ -12,6 +12,11 @@ from multimodal_tpu.parallel.ep import (
     ep_state_shardings,
     shard_state_ep,
 )
+from multimodal_tpu.parallel.compose import (
+    fsdp_tp_spec_for_path,
+    fsdp_tp_state_shardings,
+    shard_state_fsdp_tp,
+)
 from multimodal_tpu.parallel.fsdp import (
     fsdp_spec_for_leaf,
     fsdp_state_shardings,

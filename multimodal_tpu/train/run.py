@@ -839,7 +839,15 @@ def main(argv=None):
             "(the offload memory kinds are not folded into the parallel sharding "
             "trees); drop one of the flags"
         )
-    if tp > 1:
+    if tp > 1 and args.fsdp:
+        # composed 2-D layout: Megatron TP over 'model' + ZeRO over 'data' on the same
+        # weights (parallel/compose.py) — the standard layout past single-axis scaling
+        from multimodal_tpu.parallel.compose import (
+            fsdp_tp_state_shardings, shard_state_fsdp_tp)
+
+        state_shardings = fsdp_tp_state_shardings(state, mesh)
+        state = shard_state_fsdp_tp(state, mesh)
+    elif tp > 1:
         from multimodal_tpu.parallel.tp import shard_state, tp_state_shardings
 
         state_shardings = tp_state_shardings(state, mesh)
