@@ -19,16 +19,43 @@ from multimodal_tpu.data.tokenizer import tokenize
 from multimodal_tpu.data.wds import decode_images
 
 
+def _wire_upsample(x, model, wire_size):
+    """Device-side ``--wire-size`` analog for the embedding/serving path
+    (train/engine.py:batch_images): normalize the uint8 wire crop, then bicubic-upsample
+    to the model's resolution in XLA — resolution recovery costs MXU-adjacent compute
+    instead of host decode time and wire bandwidth. Gated on an EXPLICIT wire_size: a
+    spatial size that matches neither the model nor the declared wire format is a
+    configuration error and raises at trace time."""
+    s = model.cfg.vision.image_size
+    if x.shape[1] == s and x.shape[2] == s:
+        return x
+    if wire_size is None or x.shape[1] != wire_size or x.shape[2] != wire_size:
+        raise ValueError(
+            f"images are {x.shape[1]}x{x.shape[2]} but the model expects {s}px — "
+            f"construct the Embedder/EmbeddingService with wire_size={x.shape[1]} to "
+            "opt into the on-device upsample"
+        )
+    if x.dtype == jnp.uint8:
+        from multimodal_tpu.data.preprocess import normalize_images
+
+        x = normalize_images(x)
+    return jax.image.resize(
+        x.astype(jnp.float32), (x.shape[0], s, s, x.shape[-1]), method="bicubic")
+
+
 class Embedder:
     """Jitted, fixed-batch text/image embedding over a CLIP-family model."""
 
     def __init__(self, model, params, batch_size: int = 256, normalize: bool = True,
-                 quantized: bool = False):
+                 quantized: bool = False, wire_size: int | None = None):
         """quantized=True converts the params to W8A8 once (inference_quant.py) and serves
-        every encode on the MXU's 2x-rate int8 path — forward-only, cosine>0.99 of f32."""
+        every encode on the MXU's 2x-rate int8 path — forward-only, cosine>0.99 of f32.
+        wire_size=N accepts [B, N, N, 3] uint8 batches and upsamples them to the model's
+        resolution on device (the serving analog of the train path's --wire-size)."""
         self.model = model
         self.batch_size = batch_size
         self.normalize = normalize
+        self.wire_size = wire_size
 
         if quantized:
             from multimodal_tpu.inference_quant import (
@@ -46,7 +73,8 @@ class Embedder:
 
             @jax.jit
             def _encode_image(qparams, images):
-                return encode_image_q(qparams, cfg, images, normalize=normalize)
+                x = _wire_upsample(images, model, wire_size)
+                return encode_image_q(qparams, cfg, x, normalize=normalize)
         else:
             self.params = params
 
@@ -57,7 +85,7 @@ class Embedder:
 
             @jax.jit
             def _encode_image(params, images):
-                x = images
+                x = _wire_upsample(images, model, wire_size)
                 if x.dtype == jnp.uint8:
                     from multimodal_tpu.data.preprocess import normalize_images
 

@@ -15,6 +15,12 @@ already covers). This module adds what a deployment actually needs on a TPU chip
   TPU serving failure mode.
 - **uint8 wire for images** (4x less host→device traffic; normalization runs on device,
   fused into the encode — same policy as the training input pipeline).
+- **Low-bandwidth wire formats** (``wire_size=N``): clients may POST raw uint8 N-px crops
+  (``images_u8`` — host work is just b64decode+reshape, no JPEG decode) or pre-resized
+  N-px JPEGs (``"wire": true`` — a much cheaper host decode); the upsample to model
+  resolution runs on device in the encode prolog, exactly like the train path's
+  ``--wire-size``. On a host-core-bound deployment this is the difference between
+  decode-limited and chip-limited image serving.
 
 The HTTP front end is stdlib (ThreadingHTTPServer): JSON in/out, base64 images, /healthz
 and /v1/stats for probes. Handler threads do host work only (tokenize, JPEG decode);
@@ -184,12 +190,15 @@ class EmbeddingService:
     (in-process) or behind the HTTP front end."""
 
     def __init__(self, model, params, max_batch: int = 256, max_wait_ms: float = 5.0,
-                 quantized: bool = False, normalize: bool = True):
+                 quantized: bool = False, normalize: bool = True,
+                 wire_size: Optional[int] = None):
         from multimodal_tpu.inference import Embedder
 
         self.model = model
+        self.wire_size = wire_size
         self._embedder = Embedder(model, params, batch_size=max_batch,
-                                  normalize=normalize, quantized=quantized)
+                                  normalize=normalize, quantized=quantized,
+                                  wire_size=wire_size)
         p = self._embedder.params
         self.text_batcher = DynamicBatcher(
             lambda toks: self._embedder._encode_text(p, toks),
@@ -197,6 +206,14 @@ class EmbeddingService:
         self.image_batcher = DynamicBatcher(
             lambda imgs: self._embedder._encode_image(p, imgs),
             max_batch=max_batch, max_wait_ms=max_wait_ms)
+        # the low-bandwidth wire format rides its OWN batcher: batches are coalesced by
+        # concatenation, so each spatial shape needs its own stream (and its own
+        # log2(max_batch)+1 family of bucketed programs — the compile-count contract is
+        # per shape stream)
+        self.image_wire_batcher = (
+            DynamicBatcher(lambda imgs: self._embedder._encode_image(p, imgs),
+                           max_batch=max_batch, max_wait_ms=max_wait_ms)
+            if wire_size else None)
         self.started = time.time()
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
@@ -206,17 +223,43 @@ class EmbeddingService:
         return self.text_batcher.submit(toks)
 
     def embed_image_arrays(self, images: np.ndarray) -> np.ndarray:
+        """Route by spatial size: wire-format batches ([N, wire, wire, 3]) go through
+        the wire batcher (device-side upsample in the encode prolog); everything else
+        through the native-resolution batcher."""
+        if (self.image_wire_batcher is not None and images.ndim == 4
+                and images.shape[1] == self.wire_size
+                and images.shape[1] != self.model.cfg.vision.image_size):
+            return self.image_wire_batcher.submit(images)
         return self.image_batcher.submit(images)
 
-    def embed_image_bytes(self, buffers: Sequence[bytes]):
+    def embed_image_bytes(self, buffers: Sequence[bytes], wire: bool = False):
+        """wire=True decodes at ``wire_size`` (a much cheaper host decode — e.g. 128 px
+        vs 224 px JPEG) and lets the device recover the resolution; requires the service
+        to be constructed with wire_size."""
         from multimodal_tpu.data.wds import decode_images
 
-        arr, ok = decode_images(list(buffers), self.model.cfg.vision.image_size,
-                                train=False)
+        if wire and not self.wire_size:
+            raise ValueError("wire decode requested but the service has no wire_size")
+        size = self.wire_size if wire else self.model.cfg.vision.image_size
+        arr, ok = decode_images(list(buffers), size, train=False)
         emb = self.embed_image_arrays(arr)
         emb = np.array(emb)
         emb[~ok] = 0.0
         return emb, ok
+
+    def embed_image_raw(self, buffers: Sequence[bytes], size: Optional[int] = None):
+        """Pre-decoded payloads: each buffer is raw uint8 HWC at ``size`` px (default:
+        the service wire_size, else the model's native size) — the serving analog of the
+        train path's uint8 wire format. Host work is just a reshape; no JPEG decode."""
+        size = size or self.wire_size or self.model.cfg.vision.image_size
+        n = size * size * 3
+        bad = [i for i, b in enumerate(buffers) if len(b) != n]
+        if bad:
+            raise ValueError(
+                f"raw image {bad[0]} has {len(buffers[bad[0]])} bytes, expected "
+                f"{n} ({size}x{size}x3 uint8)")
+        arr = np.frombuffer(b"".join(buffers), np.uint8).reshape(-1, size, size, 3)
+        return self.embed_image_arrays(arr)
 
     def similarity(self, texts: Sequence[str], buffers: Sequence[bytes]):
         """Cosine-similarity matrix [n_images, n_texts] (embeddings are unit-norm)."""
@@ -225,15 +268,20 @@ class EmbeddingService:
         return i @ t.T, ok
 
     def stats(self) -> dict:
-        return {
+        out = {
             "uptime_s": round(time.time() - self.started, 1),
             "text": self.text_batcher.stats.snapshot(),
             "image": self.image_batcher.stats.snapshot(),
         }
+        if self.image_wire_batcher is not None:
+            out["image_wire"] = self.image_wire_batcher.stats.snapshot()
+        return out
 
     def close(self):
         self.text_batcher.stop()
         self.image_batcher.stop()
+        if self.image_wire_batcher is not None:
+            self.image_wire_batcher.stop()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -277,11 +325,24 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(200, {"embeddings": emb.tolist()})
             if self.path == "/v1/embed/image":
                 b64 = req.get("images_b64")
+                raw = req.get("images_u8")
+                if raw is not None:
+                    # low-bandwidth pre-decoded payload: base64 of raw uint8 HWC rows at
+                    # 'size' px (default: the service wire_size). Host work is only
+                    # b64decode + reshape; the device upsamples in the encode prolog.
+                    if not isinstance(raw, list) or not raw:
+                        return self._json(
+                            400, {"error": "'images_u8' must be a non-empty list"})
+                    emb = self.service.embed_image_raw(
+                        [base64.b64decode(s) for s in raw], size=req.get("size"))
+                    return self._json(200, {"embeddings": emb.tolist(),
+                                            "decoded": [True] * len(raw)})
                 if not isinstance(b64, list) or not b64:
                     return self._json(400,
                                       {"error": "'images_b64' must be a non-empty list"})
                 buffers = [base64.b64decode(s) for s in b64]
-                emb, ok = self.service.embed_image_bytes(buffers)
+                emb, ok = self.service.embed_image_bytes(
+                    buffers, wire=bool(req.get("wire", False)))
                 return self._json(200, {"embeddings": emb.tolist(),
                                         "decoded": ok.tolist()})
             if self.path == "/v1/similarity":
@@ -324,6 +385,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--wire-size", type=int, default=None,
+                    help="accept low-bandwidth image payloads at this resolution "
+                         "(raw uint8 'images_u8' or 'wire': true JPEG) and upsample "
+                         "on device — the serving analog of train's --wire-size")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -355,7 +420,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         log.info("restored step %s from %s", mgr.latest_step(), args.checkpoint)
 
     service = EmbeddingService(model, params, max_batch=args.max_batch,
-                               max_wait_ms=args.max_wait_ms, quantized=args.quantized)
+                               max_wait_ms=args.max_wait_ms, quantized=args.quantized,
+                               wire_size=args.wire_size)
     server = make_server(service, args.host, args.port)
     log.info("serving %s on http://%s:%d (max_batch=%d, wait=%.1fms)", args.model,
              *server.server_address, args.max_batch, args.max_wait_ms)

@@ -90,6 +90,9 @@ def main(argv=None):
                    help="texts/images per client request (a realistic small payload)")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--quantized", action="store_true")
+    p.add_argument("--wire-size", type=int, default=None,
+                   help="also bench the low-bandwidth image paths at this resolution "
+                        "(raw uint8 'images_u8' and pre-resized JPEG 'wire': true)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -101,7 +104,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     service = EmbeddingService(model, init_params(model), max_batch=args.max_batch,
-                               max_wait_ms=5.0, quantized=args.quantized)
+                               max_wait_ms=5.0, quantized=args.quantized,
+                               wire_size=args.wire_size)
     srv = make_server(service, "127.0.0.1", 0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -121,6 +125,21 @@ def main(argv=None):
             Image.fromarray(arr).save(buf, format="JPEG", quality=90)
             batch.append(base64.b64encode(buf.getvalue()).decode())
         imgs.append(batch)
+    # low-bandwidth wire payloads: raw uint8 crops (host work = b64decode + reshape)
+    # and pre-resized JPEG decoded at wire size (cheap decode, device upsample)
+    imgs_u8, imgs_wire = [], []
+    if args.wire_size:
+        w = args.wire_size
+        for j in range(8):
+            raw_b, jpg_b = [], []
+            for i in range(args.items_per_request):
+                arr = rng.integers(0, 256, (w, w, 3), dtype=np.uint8)
+                raw_b.append(base64.b64encode(arr.tobytes()).decode())
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+                jpg_b.append(base64.b64encode(buf.getvalue()).decode())
+            imgs_u8.append(raw_b)
+            imgs_wire.append(jpg_b)
 
     # warm both modalities through EVERY power-of-two bucket (compile now, not during
     # timing — coalesced concurrent requests can land in any bucket <= max_batch)
@@ -129,16 +148,31 @@ def main(argv=None):
         service.embed_texts(["warm"] * b)
         service.embed_image_arrays(
             rng.integers(0, 256, (b, size, size, 3), dtype=np.uint8))
+        if args.wire_size:
+            service.embed_image_arrays(rng.integers(
+                0, 256, (b, args.wire_size, args.wire_size, 3), dtype=np.uint8))
         b *= 2
     _post(f"{base}/v1/embed/text", {"texts": texts[0]})
     _post(f"{base}/v1/embed/image", {"images_b64": imgs[0]})
+    if args.wire_size:
+        _post(f"{base}/v1/embed/image", {"images_u8": imgs_u8[0],
+                                         "size": args.wire_size})
+        _post(f"{base}/v1/embed/image", {"images_b64": imgs_wire[0], "wire": True})
 
+    endpoints = [
+        ("text", f"{base}/v1/embed/text", [{"texts": t} for t in texts]),
+        ("image", f"{base}/v1/embed/image", [{"images_b64": b} for b in imgs]),
+    ]
+    if args.wire_size:
+        endpoints += [
+            ("image_u8", f"{base}/v1/embed/image",
+             [{"images_u8": b, "size": args.wire_size} for b in imgs_u8]),
+            ("image_wire_jpeg", f"{base}/v1/embed/image",
+             [{"images_b64": b, "wire": True} for b in imgs_wire]),
+        ]
     results = []
     for conc in [int(c) for c in args.concurrency.split(",")]:
-        for name, url, payloads in (
-            ("text", f"{base}/v1/embed/text", [{"texts": t} for t in texts]),
-            ("image", f"{base}/v1/embed/image", [{"images_b64": b} for b in imgs]),
-        ):
+        for name, url, payloads in endpoints:
             lat, rate = _drive(url, payloads, conc, args.seconds)
             rec = {
                 "endpoint": name, "mode": mode, "concurrency": conc,
@@ -158,9 +192,12 @@ def main(argv=None):
     for nm in ("_encode_text", "_encode_image"):
         fn = getattr(emb, nm, None)
         n = fn._cache_size() if fn is not None and hasattr(fn, "_cache_size") else None
-        print(json.dumps({"compiled_programs": n, "fn": nm, "budget": budget}))
+        # the wire format is a second shape stream through _encode_image: its own
+        # log2(max_batch)+1 family of bucketed programs (the contract is per stream)
+        b = budget * 2 if (nm == "_encode_image" and args.wire_size) else budget
+        print(json.dumps({"compiled_programs": n, "fn": nm, "budget": b}))
         if n is not None:
-            assert n <= budget, f"{nm}: {n} compiled programs > bucket budget {budget}"
+            assert n <= b, f"{nm}: {n} compiled programs > bucket budget {b}"
     print(json.dumps({"stats": service.stats()}))
     service.close()
     srv.shutdown()

@@ -6,10 +6,12 @@
 #   vclip MC-sampled with the Riemannian mean-grad + staged-KL path (train/engine.py)
 #   siglip, --model-ema, --opt lamb, ring+shard_map contrastive
 # Usage: scripts/e2e_hardware_matrix.sh [DATA_DIR] [OUT_DIR] [EPOCHS]
+#   ROWS="siglip ema lamb ring" scripts/e2e_hardware_matrix.sh   # subset of rows
 set -u
 DATA=${1:-/tmp/shapes}
 OUT=${2:-/tmp/e2e_matrix}
 EPOCHS=${3:-3}
+ROWS=${ROWS:-}
 cd "$(dirname "$0")/.."
 
 if [ ! -f "$DATA/classes.json" ]; then
@@ -29,6 +31,7 @@ COMMON=(--model ViT-S-16-128 --dataset-type webdataset
 
 run() {
   name=$1; shift
+  if [ -n "$ROWS" ] && ! echo " $ROWS " | grep -q " $name "; then return; fi
   echo "=== $name: $*"
   timeout 2700 python -m multimodal_tpu.train.run "${COMMON[@]}" --name "$name" "$@" \
       > "$OUT/$name.log" 2>&1

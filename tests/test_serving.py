@@ -200,3 +200,99 @@ def test_http_concurrent_clients_coalesce(server, service):
                                    direct[i], atol=1e-4)
     dispatched = service.text_batcher.stats.snapshot()["batches"] - before
     assert dispatched < 12
+
+
+# --------------------------------------------------------------------------- wire path
+# (round-5) low-bandwidth image payloads: raw uint8 / pre-resized JPEG at wire_size,
+# upsampled to model resolution ON DEVICE in the encode prolog (the serving analog of
+# the train path's --wire-size, train/engine.py:batch_images)
+
+WIRE = 16  # model is 32 px
+
+
+@pytest.fixture(scope="module")
+def wire_service():
+    model = create_model("tiny-serve")
+    svc = EmbeddingService(model, init_params(model), max_batch=8, max_wait_ms=5.0,
+                           wire_size=WIRE)
+    yield svc
+    svc.close()
+
+
+def test_wire_upsample_matches_train_prolog(wire_service):
+    """The serving wire encode must equal encoding through the TRAIN path's
+    batch_images prolog (normalize -> device bicubic upsample) — one definition of the
+    wire format across train and serve."""
+    import jax
+
+    from multimodal_tpu.train.engine import batch_images
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, WIRE, WIRE, 3), dtype=np.uint8)
+    served = wire_service.embed_image_arrays(imgs)
+    assert served.shape == (3, 16)
+
+    model, params = wire_service.model, wire_service._embedder.params
+    x = batch_images({"image": imgs}, model, wire_size=WIRE)
+    expect = jax.jit(lambda p, x: model.apply(p, x, normalize=True,
+                                              method=model.encode_image))(params, x)
+    np.testing.assert_allclose(served, np.asarray(expect), atol=1e-4)
+    # and the wire stream rode its own batcher, not the native-resolution one
+    assert wire_service.stats()["image_wire"]["items"] >= 3
+
+
+def test_wire_raw_and_jpeg_routes(wire_service):
+    rng = np.random.default_rng(1)
+    arrs = [rng.integers(0, 256, (WIRE, WIRE, 3), dtype=np.uint8) for _ in range(2)]
+    raw = wire_service.embed_image_raw([a.tobytes() for a in arrs])
+    np.testing.assert_allclose(np.linalg.norm(raw, axis=-1), 1.0, atol=1e-4)
+    # raw route == array route (same bytes, same prolog)
+    direct = wire_service.embed_image_arrays(np.stack(arrs))
+    np.testing.assert_allclose(raw, direct, atol=1e-5)
+
+    emb, ok = wire_service.embed_image_bytes([_jpeg(7, size=WIRE)], wire=True)
+    assert list(ok) == [True] and np.isfinite(emb).all()
+
+    with pytest.raises(ValueError, match="expected"):
+        wire_service.embed_image_raw([b"short"])
+
+
+def test_wire_requires_explicit_opt_in(service):
+    """A non-native spatial size WITHOUT wire_size is a configuration error, not a
+    silent upsample (same contract as the train path)."""
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError, match="wire_size"):
+        service.embed_image_arrays(
+            rng.integers(0, 256, (2, WIRE, WIRE, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="wire"):
+        service.embed_image_bytes([_jpeg(8)], wire=True)
+
+
+def test_http_wire_endpoints(wire_service):
+    srv = make_server(wire_service, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (WIRE, WIRE, 3), dtype=np.uint8)
+        code, out = _post(base + "/v1/embed/image",
+                          {"images_u8": [base64.b64encode(arr.tobytes()).decode()]})
+        assert code == 200 and out["decoded"] == [True]
+        direct = wire_service.embed_image_arrays(arr[None])
+        np.testing.assert_allclose(
+            np.asarray(out["embeddings"][0], np.float32), direct[0], atol=1e-4)
+
+        code, out = _post(base + "/v1/embed/image",
+                          {"images_b64": [base64.b64encode(_jpeg(9, size=WIRE)).decode()],
+                           "wire": True})
+        assert code == 200 and out["decoded"] == [True]
+
+        code, out = _post(base + "/v1/embed/image",
+                          {"images_u8": [base64.b64encode(b"bogus").decode()]})
+        assert code == 500 and "expected" in out["error"]
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["image_wire"]["items"] >= 2
+    finally:
+        srv.shutdown()
