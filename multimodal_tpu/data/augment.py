@@ -41,6 +41,9 @@ class AugmentationCfg:
     scale: Tuple[float, float] = (0.9, 1.0)
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
     color_jitter: Optional[Tuple[float, float, float]] = None
+    # timm create_transform's simclr-style knob: probability of applying the jitter at
+    # all (None = torchvision semantics, always applied when color_jitter is set)
+    color_jitter_prob: Optional[float] = None
     hflip: float = 0.0
     grayscale_prob: float = 0.0
     re_prob: float = 0.0
@@ -86,8 +89,13 @@ def parse_aug_cfg(cfg) -> Optional[AugmentationCfg]:
             out.color_jitter = (float(b), float(c), float(s))
         if not any(out.color_jitter):
             out.color_jitter = None
+    if "color_jitter_prob" in cfg:
+        out.color_jitter_prob = float(cfg.pop("color_jitter_prob"))
     if "hflip" in cfg:
         out.hflip = float(cfg.pop("hflip"))
+    # timm spells this key gray_scale_prob (create_transform); accept both
+    if "gray_scale_prob" in cfg:
+        out.grayscale_prob = float(cfg.pop("gray_scale_prob"))
     if "grayscale_prob" in cfg:
         out.grayscale_prob = float(cfg.pop("grayscale_prob"))
     if "re_prob" in cfg:
@@ -104,8 +112,8 @@ def parse_aug_cfg(cfg) -> Optional[AugmentationCfg]:
     if cfg:
         log.warning(
             "--aug-cfg keys %s have no counterpart in this pipeline and are IGNORED "
-            "(supported: scale, ratio, color_jitter, hflip, grayscale_prob, re_prob, "
-            "re_count)",
+            "(supported: scale, ratio, color_jitter, color_jitter_prob, hflip, "
+            "grayscale_prob/gray_scale_prob, re_prob, re_count)",
             sorted(cfg),
         )
     return out
@@ -182,7 +190,8 @@ def apply_pixel_augment(
         img = None
         if cfg.hflip and rng.uniform() < cfg.hflip:
             out[i] = out[i][:, ::-1]  # timm order: hflip before the color transforms
-        if cfg.color_jitter:
+        if cfg.color_jitter and (cfg.color_jitter_prob is None
+                                 or rng.uniform() < cfg.color_jitter_prob):
             img = _jitter_one(out[i].astype(np.float32), rng, cfg.color_jitter)
         if cfg.grayscale_prob and rng.uniform() < cfg.grayscale_prob:
             src = img if img is not None else out[i].astype(np.float32)

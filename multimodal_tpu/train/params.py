@@ -224,7 +224,9 @@ def parse_args(args=None):
     g.add_argument("--save-on-preemption", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="on SIGTERM (pod eviction), checkpoint mid-epoch and exit "
-                        "cleanly; resume with --resume latest (beyond reference)")
+                        "cleanly; resume with --resume latest. Under --multihost the "
+                        "stop is coordinated (per-step flag all-reduce) so every host "
+                        "saves the same step (beyond reference)")
     g.add_argument("--delete-previous-checkpoint", action="store_true",
                    help="keep only the newest checkpoint (run.py:438-441)")
     g.add_argument("--async-checkpointing", action="store_true",

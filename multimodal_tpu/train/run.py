@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: big-model Mosaic kernel compiles run ~20 min cold
+# (e.g. the head-80 block-attention kernel at ViT-H/14 widths); caching them on disk
+# makes every run after the first start in seconds. Opt out with
+# JAX_COMPILATION_CACHE_DIR="" (same knob bench.py uses).
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+if _CACHE_DIR:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+
 from multimodal_tpu.data import DataInfo, build_dataset
 from multimodal_tpu.models import create_model, init_params, param_count
 from multimodal_tpu.models.config import VariationalConfig
@@ -54,6 +62,29 @@ def _install_preemption_handler():
         signal.signal(signal.SIGTERM, _on_sigterm)
     except ValueError:  # not the main thread (e.g. main() called from a test runner)
         log.warning("not in main thread; SIGTERM preemption handler not installed")
+
+
+def _preemption_stop(args) -> bool:
+    """Has ANY host been preempted?
+
+    Single-host: the local SIGTERM flag. Multihost: SIGTERM lands per-host
+    (uncoordinated), and a per-host reactive stop would desynchronize the collective
+    program — the evicted host would enter the checkpoint save / break its loop while
+    the others keep stepping. So the flag is max-reduced across processes at every step
+    boundary (a one-int32 process_allgather, microseconds over ICI vs a multi-ms train
+    step): every host agrees to stop at the SAME step, saves the same checkpoint, and
+    exits within the eviction grace period. The local flag is set when the global answer
+    is yes, so all downstream logic (epoch-end save, clean break) is uniform across
+    hosts. TPU-pod preemption model per SURVEY §5; single-host semantics unchanged."""
+    if not (getattr(args, "multihost", False) and args.save_on_preemption):
+        return _PREEMPTED.is_set()
+    from jax.experimental import multihost_utils
+
+    flag = np.int32(1 if _PREEMPTED.is_set() else 0)
+    stop = bool(multihost_utils.process_allgather(flag).max())
+    if stop:
+        _PREEMPTED.set()
+    return stop
 
 
 def _loss_kwargs(args) -> dict:
@@ -553,7 +584,9 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
 
     for i, batch in enumerate(data_train):
         if i < skip_steps:
-            if _PREEMPTED.is_set():
+            # the coordinated check runs here too: skip_steps is identical on every
+            # host (same checkpoint metadata), so the collective call counts align
+            if _preemption_stop(args):
                 # evicted during the replay: state is unchanged since restore, so
                 # nothing new to save — just exit cleanly within the grace period
                 log.info("preemption during fast-forward; exiting (nothing to save)")
@@ -566,7 +599,7 @@ def train_one_epoch(step_fn, state, data_train, epoch, args, exp_logger, num_dev
         sub = jax.random.fold_in(jax.random.fold_in(rng, epoch), i)
         state, metrics = step_fn(state, batch, sub)
         step_in_epoch += 1
-        preempted = _PREEMPTED.is_set() and ckpt is not None
+        preempted = _preemption_stop(args) and ckpt is not None
         if ckpt is not None and ((save_every and (i + 1) % save_every == 0) or preempted):
             ckpt.save(int(jax.device_get(state.step)), jax.device_get(state),
                       metadata={"epoch": epoch, "name": args.name,
@@ -611,17 +644,15 @@ def main(argv=None):
     args = parse_args(argv)
 
     _PREEMPTED.clear()
-    if args.save_on_preemption and not args.multihost:
-        _install_preemption_handler()
-    elif args.save_on_preemption and args.multihost:
-        # a per-host reactive save is UNSAFE multihost: one evicted host would enter the
-        # collective save / break the loop while the others keep stepping -> mismatched
-        # collectives. Coordinated preemption needs an all-host signal; until then rely
-        # on --save-frequency-steps (every host saves at the same step boundary).
-        log.warning("--save-on-preemption is disabled under --multihost (per-host "
-                    "SIGTERM is uncoordinated); use --save-frequency-steps")
     if args.multihost:
         init_multihost(getattr(args, "dist_url", None))
+    if args.save_on_preemption:
+        # multihost: the per-host SIGTERM is coordinated by _preemption_stop's per-step
+        # flag all-reduce — every host stops, saves, and exits at the same step boundary.
+        # Installed AFTER jax.distributed.initialize: the TSL runtime registers its own
+        # C-level SIGTERM notifier during initialize, and whichever handler is installed
+        # last wins — installing first would leave the Python flag handler dead.
+        _install_preemption_handler()
     host_id, num_hosts = jax.process_index(), jax.process_count()
 
     # experiment naming: rank-0 decides, all hosts agree (run.py:96-98 broadcast_object)
@@ -969,7 +1000,7 @@ def main(argv=None):
         )
         log.info("epoch %d done: %d steps in %.1fs", epoch, n_steps,
                  time.perf_counter() - t0)
-        if _PREEMPTED.is_set():
+        if _preemption_stop(args):
             # the signal may have landed AFTER the loop's last per-step check, in which
             # case no mid-epoch save ran — don't lose the epoch's steps
             cur = int(jax.device_get(state.step))

@@ -168,3 +168,27 @@ def test_hflip_key_flips_with_probability():
     # prob 0 -> untouched
     cfg0 = parse_aug_cfg({"hflip": 0.0, "re_prob": 0.0})
     assert cfg0 is not None and not cfg0.hflip
+
+
+def test_timm_prob_keys():
+    """timm create_transform's simclr knobs: color_jitter_prob gates the jitter, and
+    gray_scale_prob is accepted as timm's spelling of grayscale_prob."""
+    cfg = parse_aug_cfg({"color_jitter": 0.4, "color_jitter_prob": 0.0,
+                         "gray_scale_prob": 0.3})
+    assert cfg.color_jitter == (0.4, 0.4, 0.4) and cfg.color_jitter_prob == 0.0
+    assert cfg.grayscale_prob == 0.3
+
+    batch = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    # prob 0: jitter never applies (grayscale off) -> bytes untouched
+    cfg0 = parse_aug_cfg({"color_jitter": 0.4, "color_jitter_prob": 0.0})
+    out = apply_pixel_augment(batch.copy(), np.random.default_rng(0), cfg0)
+    np.testing.assert_array_equal(out, batch)
+    # prob 1 matches the always-on torchvision semantics on the same rng stream
+    cfg1 = parse_aug_cfg({"color_jitter": 0.4, "color_jitter_prob": 1.0})
+    always = parse_aug_cfg({"color_jitter": 0.4})
+    r1, r2 = np.random.default_rng(1), np.random.default_rng(1)
+    out1 = apply_pixel_augment(batch.copy(), r1, cfg1)
+    # replicate the prob draw so both streams align before the jitter factors
+    _ = r2.uniform()
+    out2 = apply_pixel_augment(batch.copy(), r2, always)
+    np.testing.assert_array_equal(out1[0], out2[0])

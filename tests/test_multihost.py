@@ -3,9 +3,11 @@ main/distributed.py:63-137): CPU backend, tcp:// coordinator with the RANK/WORLD
 convention, experiment-name broadcast agreement across processes."""
 
 import os
+import signal
 import socket
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -138,3 +140,128 @@ def test_two_process_multihost_train_step():
     assert len(ring_lines) == 2 and ring_lines[0] == ring_lines[1]
     _, rl, dl = ring_lines[0].split(":")
     np.testing.assert_allclose(float(rl), float(dl), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# coordinated multihost preemption (round-5): SIGTERM on ONE host must stop
+# EVERY host at the same step boundary (run.py:_preemption_stop's per-step flag
+# all-reduce), produce one agreed mid-epoch checkpoint, and the resumed run must
+# be bit-identical to an uninterrupted one (deterministic set_epoch data order +
+# fold_in rng replay, reference run.py:420-448 extended to the TPU-pod model).
+
+_PREEMPT_CLI = [
+    "--dataset-type", "synthetic", "--model", "tiny-test",
+    "--train-num-samples", "3200", "--batch-size", "16",
+    "--epochs", "2", "--warmup", "5", "--workers", "1",
+    "--report-to", "none", "--log-every-n-steps", "10",
+    "--save-on-preemption", "--seed", "0", "--log-local",
+]
+
+
+def _launch_cli_pair(url, logs, name, extra=()):
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            RANK=str(rank), WORLD_SIZE="2", JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+            PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        env.pop("XLA_FLAGS", None)
+        out = open(os.path.join(logs, f"stdout-{name}-{rank}.log"), "w")
+        procs.append((subprocess.Popen(
+            [sys.executable, "-m", "multimodal_tpu.train.run", *_PREEMPT_CLI,
+             "--multihost", "--dist-url", url, "--logs", logs, "--name", name,
+             *extra],
+            env=env, stdout=out, stderr=subprocess.STDOUT), out))
+    return procs
+
+
+def _wait_pair(procs, timeout=900):
+    for p, out in procs:
+        p.wait(timeout=timeout)
+        out.close()
+    for p, _ in procs:
+        assert p.returncode == 0, f"rank exited rc={p.returncode}"
+
+
+def _stdout_text(logs, name, rank):
+    with open(os.path.join(logs, f"stdout-{name}-{rank}.log")) as f:
+        return f.read()
+
+
+def _restore_raw(ckpt_dir):
+    """Template-free restore of the latest checkpoint as a raw numpy pytree."""
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    assert step is not None, f"no checkpoint under {ckpt_dir}"
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore(), metadata=ocp.args.JsonRestore()))
+    mgr.close()
+    return step, restored["state"], restored.get("metadata") or {}
+
+
+def test_two_process_coordinated_preemption(tmp_path):
+    """SIGTERM to rank 1 only: the per-step flag all-reduce stops BOTH ranks at the
+    same step; both participate in one agreed mid-epoch save; resuming finishes the
+    run with a final state bit-identical to an uninterrupted baseline."""
+    import numpy as np
+
+    logs = str(tmp_path)
+
+    # --- interrupted run: SIGTERM rank 1 once training is demonstrably underway
+    url = f"tcp://localhost:{_free_port()}"
+    procs = _launch_cli_pair(url, logs, "preempt")
+    r0_log = os.path.join(logs, "stdout-preempt-0.log")
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if os.path.exists(r0_log) and "step 10 loss" in open(r0_log).read():
+            break
+        if procs[0][0].poll() is not None:
+            break
+        time.sleep(0.2)
+    assert procs[1][0].poll() is None, "run finished before the signal could land"
+    os.kill(procs[1][0].pid, signal.SIGTERM)
+    _wait_pair(procs)
+
+    saved_steps = []
+    for rank in range(2):
+        text = _stdout_text(logs, "preempt", rank)
+        lines = [l for l in text.splitlines() if "preemption signal received" in l]
+        assert lines, f"rank {rank} did not take the coordinated-stop path"
+        saved_steps.append(int(lines[-1].split("saved step ")[1].split(" ")[0]))
+    assert saved_steps[0] == saved_steps[1], (
+        f"hosts saved different steps: {saved_steps}")
+
+    ckpt_dir = os.path.join(logs, "preempt", "checkpoints")
+    step, _, meta = _restore_raw(ckpt_dir)
+    assert step == saved_steps[0]
+    assert meta.get("mid_epoch") is True
+
+    # --- resume to completion
+    url = f"tcp://localhost:{_free_port()}"
+    _wait_pair(_launch_cli_pair(url, logs, "preempt", extra=("--resume", "latest")))
+
+    # --- uninterrupted baseline with the identical recipe
+    url = f"tcp://localhost:{_free_port()}"
+    _wait_pair(_launch_cli_pair(url, logs, "baseline"))
+
+    step_r, state_r, _ = _restore_raw(ckpt_dir)
+    step_b, state_b, _ = _restore_raw(os.path.join(logs, "baseline", "checkpoints"))
+    assert step_r == step_b == 2 * (3200 // 16)
+    flat_r = jax_flatten_with_paths(state_r)
+    flat_b = jax_flatten_with_paths(state_b)
+    assert list(flat_r) == list(flat_b)  # same leaf paths
+    for path in flat_r:
+        a, b = flat_r[path], flat_b[path]
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), (
+            f"resumed run diverged from uninterrupted baseline at {path}")
+
+
+def jax_flatten_with_paths(tree):
+    import jax
+
+    return {jax.tree_util.keystr(kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
