@@ -9,6 +9,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = """
@@ -203,6 +205,7 @@ def _restore_raw(ckpt_dir):
     return step, restored["state"], restored.get("metadata") or {}
 
 
+@pytest.mark.slow
 def test_two_process_coordinated_preemption(tmp_path):
     """SIGTERM to rank 1 only: the per-step flag all-reduce stops BOTH ranks at the
     same step; both participate in one agreed mid-epoch save; resuming finishes the
