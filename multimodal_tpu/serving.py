@@ -261,10 +261,11 @@ class EmbeddingService:
         arr = np.frombuffer(b"".join(buffers), np.uint8).reshape(-1, size, size, 3)
         return self.embed_image_arrays(arr)
 
-    def similarity(self, texts: Sequence[str], buffers: Sequence[bytes]):
+    def similarity(self, texts: Sequence[str], buffers: Sequence[bytes],
+                   wire: bool = False):
         """Cosine-similarity matrix [n_images, n_texts] (embeddings are unit-norm)."""
         t = self.embed_texts(texts)
-        i, ok = self.embed_image_bytes(buffers)
+        i, ok = self.embed_image_bytes(buffers, wire=wire)
         return i @ t.T, ok
 
     def stats(self) -> dict:
@@ -347,10 +348,19 @@ class _Handler(BaseHTTPRequestHandler):
                                         "decoded": ok.tolist()})
             if self.path == "/v1/similarity":
                 texts, b64 = req.get("texts"), req.get("images_b64")
-                if not texts or not b64:
-                    return self._json(400, {"error": "need 'texts' and 'images_b64'"})
+                raw = req.get("images_u8")
+                if not texts or not (b64 or raw):
+                    return self._json(400, {"error": "need 'texts' and 'images_b64' "
+                                                     "(or 'images_u8')"})
+                t = self.service.embed_texts(texts)
+                if raw:
+                    i = self.service.embed_image_raw(
+                        [base64.b64decode(s) for s in raw], size=req.get("size"))
+                    return self._json(200, {"similarity": (i @ t.T).tolist(),
+                                            "decoded": [True] * len(raw)})
                 sims, ok = self.service.similarity(
-                    texts, [base64.b64decode(s) for s in b64])
+                    texts, [base64.b64decode(s) for s in b64],
+                    wire=bool(req.get("wire", False)))
                 return self._json(200, {"similarity": sims.tolist(),
                                         "decoded": ok.tolist()})
             return self._json(404, {"error": f"unknown path {self.path}"})

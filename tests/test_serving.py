@@ -291,6 +291,12 @@ def test_http_wire_endpoints(wire_service):
                           {"images_u8": [base64.b64encode(b"bogus").decode()]})
         assert code == 500 and "expected" in out["error"]
 
+        code, out = _post(base + "/v1/similarity",
+                          {"texts": ["a", "b"],
+                           "images_u8": [base64.b64encode(arr.tobytes()).decode()]})
+        assert code == 200 and len(out["similarity"]) == 1
+        assert len(out["similarity"][0]) == 2
+
         with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
             stats = json.loads(r.read())
         assert stats["image_wire"]["items"] >= 2
