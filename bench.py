@@ -123,10 +123,15 @@ def main():
             "bfloat16" if args.model in ("ViT-H-14", "ViT-g-14") else "float32"
         )
     if args.int8 is None:
-        # measured round-4 A/B (docs/DESIGN.md): int8 wins where MLP rows amortize the
-        # dynamic-quantize VPU work and the step is MXU-bound; B/16 regresses (-1.8%)
-        # and g/14 (HBM-bound) is a wash
-        args.int8 = args.model in ("ViT-B-32", "ViT-H-14", "ViT-L-14")
+        # measured round-4 speed A/B (docs/DESIGN.md): int8 wins where MLP rows amortize
+        # the dynamic-quantize VPU work and the step is MXU-bound; B/16 regresses (-1.8%)
+        # and g/14 (HBM-bound) is a wash. Round-5 WIDTH quality gate (RESULTS.md,
+        # scripts/int8_width_gate.sh): convergence parity holds at width 768 (B/32,
+        # 5-epoch real-input) and 1024 (L/14, 300-step real-input curve overlap), but
+        # H/14 (width 1280, its shipping bf16-moments config) converges visibly slower
+        # under int8 in the same harness — its int8 default is REVOKED (+2.1% speed
+        # was not worth an unquantified quality risk); opt back in with --int8
+        args.int8 = args.model in ("ViT-B-32", "ViT-L-14")
     steps = args.steps or (3 if args.quick else 8)
     warmup = 1 if args.quick else 3
 
