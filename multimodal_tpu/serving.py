@@ -301,6 +301,18 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _emb_payload(self, req: dict, emb: np.ndarray) -> dict:
+        """Embedding response in the requested encoding. Default: JSON float lists
+        (universally parseable). ``"encoding": "b64"``: base64 of packed little-endian
+        float32 rows + shape — ~6x fewer response bytes and an order of magnitude less
+        host serialization work, which is what bounds image serving at high concurrency
+        on a host-core-limited deployment (RESULTS.md serving table)."""
+        if req.get("encoding") == "b64":
+            a = np.ascontiguousarray(emb, dtype="<f4")
+            return {"embeddings_b64": base64.b64encode(a.tobytes()).decode(),
+                    "shape": list(a.shape), "dtype": "float32"}
+        return {"embeddings": emb.tolist()}
+
     def do_GET(self):
         if self.path == "/healthz":
             import jax
@@ -323,7 +335,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(texts, list) or not texts:
                     return self._json(400, {"error": "'texts' must be a non-empty list"})
                 emb = self.service.embed_texts(texts)
-                return self._json(200, {"embeddings": emb.tolist()})
+                return self._json(200, self._emb_payload(req, emb))
             if self.path == "/v1/embed/image":
                 b64 = req.get("images_b64")
                 raw = req.get("images_u8")
@@ -336,7 +348,7 @@ class _Handler(BaseHTTPRequestHandler):
                             400, {"error": "'images_u8' must be a non-empty list"})
                     emb = self.service.embed_image_raw(
                         [base64.b64decode(s) for s in raw], size=req.get("size"))
-                    return self._json(200, {"embeddings": emb.tolist(),
+                    return self._json(200, {**self._emb_payload(req, np.asarray(emb)),
                                             "decoded": [True] * len(raw)})
                 if not isinstance(b64, list) or not b64:
                     return self._json(400,
@@ -344,7 +356,7 @@ class _Handler(BaseHTTPRequestHandler):
                 buffers = [base64.b64decode(s) for s in b64]
                 emb, ok = self.service.embed_image_bytes(
                     buffers, wire=bool(req.get("wire", False)))
-                return self._json(200, {"embeddings": emb.tolist(),
+                return self._json(200, {**self._emb_payload(req, emb),
                                         "decoded": ok.tolist()})
             if self.path == "/v1/similarity":
                 texts, b64 = req.get("texts"), req.get("images_b64")

@@ -58,7 +58,7 @@ def _drive(url, payloads, concurrency: int, seconds: float):
                 i += 1
                 continue
             dt = time.perf_counter() - t0
-            n = len(out.get("embeddings", []))
+            n = len(out.get("embeddings", [])) or out.get("shape", [0])[0]
             with lock:
                 latencies.append(dt)
                 items[0] += n
@@ -96,6 +96,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from PIL import Image
+
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
 
     from multimodal_tpu.models import create_model, init_params
     from multimodal_tpu.serving import EmbeddingService, make_server
@@ -169,6 +175,12 @@ def main(argv=None):
              [{"images_u8": b, "size": args.wire_size} for b in imgs_u8]),
             ("image_wire_jpeg", f"{base}/v1/embed/image",
              [{"images_b64": b, "wire": True} for b in imgs_wire]),
+            # both low-bandwidth levers stacked: raw-uint8 request + packed-f32 response
+            ("text_b64", f"{base}/v1/embed/text",
+             [{"texts": t, "encoding": "b64"} for t in texts]),
+            ("image_u8_b64", f"{base}/v1/embed/image",
+             [{"images_u8": b, "size": args.wire_size, "encoding": "b64"}
+              for b in imgs_u8]),
         ]
     results = []
     for conc in [int(c) for c in args.concurrency.split(",")]:

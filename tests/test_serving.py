@@ -297,6 +297,19 @@ def test_http_wire_endpoints(wire_service):
         assert code == 200 and len(out["similarity"]) == 1
         assert len(out["similarity"][0]) == 2
 
+        # packed-float32 response encoding carries the same numbers as the JSON lists
+        code, out = _post(base + "/v1/embed/text",
+                          {"texts": ["hello"], "encoding": "b64"})
+        assert code == 200 and out["shape"] == [1, 16]
+        packed = np.frombuffer(base64.b64decode(out["embeddings_b64"]),
+                               "<f4").reshape(out["shape"])
+        code, plain = _post(base + "/v1/embed/text", {"texts": ["hello"]})
+        np.testing.assert_allclose(packed, np.asarray(plain["embeddings"]), atol=1e-6)
+        code, out = _post(base + "/v1/embed/image",
+                          {"images_u8": [base64.b64encode(arr.tobytes()).decode()],
+                           "encoding": "b64"})
+        assert code == 200 and out["shape"] == [1, 16] and out["decoded"] == [True]
+
         with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
             stats = json.loads(r.read())
         assert stats["image_wire"]["items"] >= 2
