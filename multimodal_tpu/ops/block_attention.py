@@ -26,6 +26,7 @@ rounding; counterpart of the reference's nn.MultiheadAttention core
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -450,6 +451,32 @@ def _bwd_kernel_large(x_ref, dy_ref, wq, bq, wk, bk, wv, bv, wo, bo,
         dx_ref[g] = dx.astype(x.dtype)
 
 
+def _attn_wgrad(a, dz, out_dtype):
+    """dw = a^T dz contracted over the token axis — the whole-batch weight-gradient
+    reduction left to XLA by both backward variants.
+
+    MMTPU_ATTN_WGRAD selects the formulation (identical math, different XLA layout
+    pressure — see docs/DESIGN.md "copy tail"):
+      flat (default): one [B*S, W]^T @ [B*S, W] dot. XLA's layout assignment wants
+        batch-minor ({0,2,1}) operands for the N-contraction, and since a Pallas
+        custom-call's output layout is pinned row-major ({2,1,0}), every kernel output
+        feeding a wgrad pays a materialized transpose copy (~62 us each on B/32).
+      batched: per-image [S, W]^T @ [S, W] batched dot on row-major operands, reduced
+        over B afterwards — no batch-minor request, at the price of B smaller GEMMs
+        plus a [B, W, W] f32 reduction.
+    """
+    f32 = jnp.float32
+    if os.environ.get("MMTPU_ATTN_WGRAD") == "batched":
+        acc = jax.lax.dot_general(
+            a, dz, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+        return jnp.sum(acc, axis=0).astype(out_dtype)
+    w = dz.shape[-1]
+    return jax.lax.dot_general(
+        a.reshape(-1, a.shape[-1]), dz.reshape(-1, w), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(out_dtype)
+
+
 def _weight_specs(width: int):
     wspec = pl.BlockSpec((width, width), lambda i: (0, 0))
     bspec = pl.BlockSpec((width,), lambda i: (0,))
@@ -594,19 +621,9 @@ def _block_attention_bwd(heads, causal, kv_len, residuals, dy):
     )(x, dy, wq, bq, wk, bk, wv, bv, wo, bo)
 
     # weight/bias grads: single whole-batch reductions — efficient as plain XLA matmuls
-    x2 = x.reshape(-1, w)
     f32 = jnp.float32
-
-    def wgrad(dz):
-        return jax.lax.dot_general(
-            x2, dz.reshape(-1, w), (((0,), (0,)), ((), ())), preferred_element_type=f32
-        ).astype(wq.dtype)
-
-    dwq, dwk, dwv = wgrad(dq), wgrad(dk), wgrad(dv)
-    dwo = jax.lax.dot_general(
-        attnpre.reshape(-1, w), dy.reshape(-1, w), (((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ).astype(wo.dtype)
+    dwq, dwk, dwv = (_attn_wgrad(x, dz, wq.dtype) for dz in (dq, dk, dv))
+    dwo = _attn_wgrad(attnpre, dy, wo.dtype)
     dbq = jnp.sum(dq.astype(f32), axis=(0, 1)).astype(bq.dtype)
     dbk = jnp.sum(dk.astype(f32), axis=(0, 1)).astype(bk.dtype)
     dbv = jnp.sum(dv.astype(f32), axis=(0, 1)).astype(bv.dtype)
@@ -682,19 +699,9 @@ def _block_attention_ln_bwd(heads, causal, kv_len, ln_eps, residual, residuals, 
     dgamma = jnp.sum(dg_p, axis=0).astype(gamma.dtype)
     dbeta = jnp.sum(db_p, axis=0).astype(beta.dtype)
     # weight/bias grads: single whole-batch reductions over the kernel-emitted LN output
-    x2 = ln_out.reshape(-1, w)
     f32 = jnp.float32
-
-    def wgrad(dz):
-        return jax.lax.dot_general(
-            x2, dz.reshape(-1, w), (((0,), (0,)), ((), ())), preferred_element_type=f32
-        ).astype(wq.dtype)
-
-    dwq, dwk, dwv = wgrad(dq), wgrad(dk), wgrad(dv)
-    dwo = jax.lax.dot_general(
-        attnpre.reshape(-1, w), dy.reshape(-1, w), (((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ).astype(wo.dtype)
+    dwq, dwk, dwv = (_attn_wgrad(ln_out, dz, wq.dtype) for dz in (dq, dk, dv))
+    dwo = _attn_wgrad(attnpre, dy, wo.dtype)
     dbq = jnp.sum(dq.astype(f32), axis=(0, 1)).astype(bq.dtype)
     dbk = jnp.sum(dk.astype(f32), axis=(0, 1)).astype(bk.dtype)
     dbv = jnp.sum(dv.astype(f32), axis=(0, 1)).astype(bv.dtype)
