@@ -205,6 +205,26 @@ def _restore_raw(ckpt_dir):
     return step, restored["state"], restored.get("metadata") or {}
 
 
+def test_preemption_stop_single_host_semantics():
+    """Single-host (and multihost-without-save-on-preemption): _preemption_stop is the
+    plain local flag — no collective, flag set only by SIGTERM."""
+    from types import SimpleNamespace
+
+    from multimodal_tpu.train import run as runmod
+
+    runmod._PREEMPTED.clear()
+    local = SimpleNamespace(multihost=False, save_on_preemption=True)
+    off = SimpleNamespace(multihost=True, save_on_preemption=False)
+    assert runmod._preemption_stop(local) is False
+    assert runmod._preemption_stop(off) is False
+    runmod._PREEMPTED.set()
+    try:
+        assert runmod._preemption_stop(local) is True
+        assert runmod._preemption_stop(off) is True
+    finally:
+        runmod._PREEMPTED.clear()
+
+
 @pytest.mark.slow
 def test_two_process_coordinated_preemption(tmp_path):
     """SIGTERM to rank 1 only: the per-step flag all-reduce stops BOTH ranks at the
